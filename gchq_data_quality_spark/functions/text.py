@@ -1,0 +1,138 @@
+"""Text-analysis functions: all native Column expressions (JVM-side codegen).
+
+These power the quality-filter heuristics of the north rule (length / charset
+/ repetition / token statistics) and the standalone text-analysis queries.
+No Python in the hot path — every function here returns a Catalyst Column
+built from pyspark.sql.functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A compact stopword list for quality scoring (top English function words).
+STOPWORDS = [
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "was",
+    "for", "on", "are", "as", "with", "his", "they", "at", "be", "this",
+]
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: words, digits runs, and punctuation each
+    count (a cheap regex proxy for BPE token counts used to budget training
+    data)."""
+    return F.when(col.isNull(), F.lit(None)).otherwise(
+        F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"), 0))
+    )
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are letters (unicode-aware classes)."""
+    total = F.length(col)
+    letters = F.length(F.regexp_replace(col, r"[^\p{L}]", ""))
+    return F.when(total > 0, letters / total).otherwise(F.lit(0.0))
+
+
+def non_ascii_ratio(col: Column) -> Column:
+    total = F.length(col)
+    ascii_only = F.length(F.regexp_replace(col, r"[^\x00-\x7F]", ""))
+    return F.when(total > 0, (total - ascii_only) / total).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^\p{P}\p{S}]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column) -> Column:
+    total = F.length(col)
+    digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    return F.when(total > 0, digits / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords — a classic
+    gibberish detector (real prose has ~0.3-0.5, random words ~0)."""
+    words = stopwords or STOPWORDS
+    tokens = F.split(F.lower(F.trim(col)), r"\s+")
+    hits = F.size(F.filter(tokens, lambda t: t.isin(words)))
+    n = F.size(tokens)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def max_word_length(col: Column) -> Column:
+    tokens = F.split(F.trim(col), r"\s+")
+    return F.coalesce(
+        F.array_max(F.transform(tokens, F.length)), F.lit(0)
+    )
+
+
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Repeated word-n-gram ratio: 1 - distinct_ngrams/total_ngrams.
+
+    High values flag boilerplate/spam ("buy now buy now buy now").
+    Implemented with array higher-order functions — no UDF: tokenize,
+    build n-grams via transform over index offsets, then distinct/size.
+    """
+    tokens = F.split(F.lower(F.trim(col)), r"\s+")
+    n_tokens = F.size(tokens)
+    n_grams = n_tokens - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_grams - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+    grams = F.when(n_grams > 0, grams).otherwise(F.array())
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(n_grams > 0, 1.0 - distinct / n_grams).otherwise(F.lit(0.0))
+
+
+def char_repetition_ratio(col: Column, run_len: int = 4) -> Column:
+    """Fraction of the string consumed by runs of >=run_len identical chars."""
+    total = F.length(col)
+    collapsed = F.length(
+        F.regexp_replace(col, r"(.)\1{" + str(run_len - 1) + r",}", "$1")
+    )
+    return F.when(total > 0, (total - collapsed) / total).otherwise(F.lit(0.0))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 64-bit document fingerprint over normalised text.
+
+    Normalisation: lowercase, collapse whitespace, strip punctuation — so
+    trivially-different duplicates collide. xxhash64 is Spark-native and
+    stable across runs/partitions."""
+    normalised = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(col)), r"[\p{P}\p{S}]", ""), r"\s+", " "
+    )
+    return F.xxhash64(normalised)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite heuristic quality score in [0, 1] (higher = better prose).
+
+    A weighted blend of the individual heuristics; weights chosen so typical
+    clean sentences score > 0.7 and obvious garbage scores < 0.3.
+    """
+    score = (
+        F.lit(0.0)
+        + F.when(char_count(col).between(20, 2000), 0.25).otherwise(0.0)
+        + F.when(alpha_ratio(col) >= 0.6, 0.25).otherwise(0.0)
+        + F.when(repetition_ratio(col) <= 0.2, 0.25).otherwise(0.0)
+        + F.when(stopword_ratio(col) >= 0.1, 0.15).otherwise(0.0)
+        + F.when(max_word_length(col) <= 25, 0.10).otherwise(0.0)
+    )
+    return F.when(col.isNull(), F.lit(None)).otherwise(score)

@@ -1,0 +1,138 @@
+"""Result models: one row per rule evaluation, plus a report wrapper.
+
+Parity: reference results/models.py:52-298 (DataQualityResult /
+DataQualityReport). The reference additionally ships a hand-rolled
+partial->final merge subsystem (results/models.py:320-413, results/utils.py)
+to combine per-partition results coming back from mapInPandas; our engine
+deletes that entirely — Catalyst's HashAggregate(partial) -> Exchange ->
+HashAggregate(final) does the same merge inside one job, and results are
+computed once, globally.
+
+``records_failed_ids``: the reference emits positional indices in pandas mode
+and explicitly drops them in Spark mode as unreliable
+(spark/utils/results_utils.py:56, docs/python-pyspark.md:283). Our engine
+emits stable row identifiers instead whenever the caller names an id column
+(strictly better: deterministic under shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+from datetime import UTC, datetime
+from typing import Any
+
+import pandas as pd
+from pydantic import Field, field_serializer, field_validator
+
+from gchq_data_quality_spark.globals import SampleConfig
+from gchq_data_quality_spark.models import (
+    DataQualityBaseModel,
+    DataQualityDimension,
+    UTCDateTimeStrict,
+)
+
+
+def calculate_pass_rate(records_passing: int, records_evaluated: int) -> float | None:
+    """passing/evaluated; None when nothing was evaluated
+    (parity: rules/utils/rules_utils.py:23-37)."""
+    if records_evaluated > 0:
+        return records_passing / records_evaluated
+    return None
+
+
+def _jsonable(value: Any) -> Any:
+    if value is None or (not isinstance(value, (list, dict, str)) and pd.isna(value)):
+        return None
+    if isinstance(value, (pd.Timestamp, datetime)):
+        return value.isoformat()
+    if isinstance(value, dict):
+        return {k: _jsonable(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_jsonable(v) for v in value]
+    if hasattr(value, "item"):  # numpy scalars
+        return value.item()
+    return value
+
+
+class DataQualityResult(DataQualityBaseModel):
+    """Outcome of one rule applied to one field."""
+
+    dataset_name: float | str | int | None = Field(default=None)
+    dataset_id: float | str | int | None = Field(default=None)
+    measurement_sample: str | None = Field(default=None)
+    lifecycle_stage: Any | None = Field(default=None)
+    measurement_time: UTCDateTimeStrict = Field(
+        default_factory=lambda: datetime.now(UTC)
+    )
+
+    field: str = Field(...)
+    data_quality_dimension: DataQualityDimension = Field(...)
+    records_evaluated: int | None = Field(default=None)
+    pass_rate: float | None = Field(default=None, ge=0, le=1)
+    rule_id: Any | None = Field(default=None)
+    rule_description: Any = Field(default=None)
+    rule_data: str = Field(
+        description="JSON dump of the rule so it can be reconstructed"
+    )
+    records_failed_ids: list | None = Field(default=None)
+    records_failed_sample: list[dict] | None = Field(default=None)
+
+    @field_validator("pass_rate", mode="before")
+    @classmethod
+    def _nan_to_none(cls, v):
+        if v is not None and pd.isna(v):
+            return None
+        return v
+
+    @field_validator("records_failed_sample", "records_failed_ids", mode="before")
+    @classmethod
+    def _maybe_json_load(cls, v, info):
+        if v is None or isinstance(v, list):
+            return v
+        try:
+            return json.loads(v)
+        except (json.JSONDecodeError, TypeError):
+            warnings.warn(
+                f"Failed to decode field '{info.field_name}' as JSON. Returning None.",
+                stacklevel=2,
+            )
+            return None
+
+    @field_serializer("records_failed_sample", when_used="json")
+    def _serialize_sample(self, value):
+        return None if value is None else _jsonable(value)
+
+    def _set_records_failed_sample(self, records_failed: list[dict] | None) -> None:
+        if records_failed is None:
+            self.records_failed_sample = None
+        else:
+            limit = SampleConfig.RECORDS_FAILED_SAMPLE_SIZE
+            self.records_failed_sample = records_failed[:limit]
+
+
+class DataQualityReport(DataQualityBaseModel):
+    """A list of DataQualityResults with tabular/JSON export."""
+
+    results: list[DataQualityResult] = Field(default_factory=list)
+
+    def to_dataframe(self, decimals: int = 4) -> pd.DataFrame:
+        rows = []
+        for result in self.results:
+            row = result.to_dict()
+            if result.pass_rate is not None:
+                row["pass_rate"] = round(result.pass_rate, decimals)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    @classmethod
+    def from_dataframe(cls, df: pd.DataFrame) -> "DataQualityReport":
+        records = df.to_dict("records")
+        cleaned = [
+            {
+                k: (None if not isinstance(v, (list, dict, str)) and pd.isna(v) else v)
+                for k, v in rec.items()
+            }
+            for rec in records
+        ]
+        return cls(results=[DataQualityResult(**rec) for rec in cleaned])
