@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter pipeline (langid +
+perplexity + heuristic rules + PII scrub) over a deterministic synthetic
+image+caption table and returns the per-rule audit DataFrame.
+
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 (rule metrics compiled to single-pass aggregations, text
+analysis, dedup, similarity search, classic join/agg plans), each paired
+with ANSI SQL DuckDB runs on the same parquet tables. Non-SQL-expressible
+ops (pipeline keep/drop, MinHash/SimHash LSH, langid) omit the oracle and
+get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +17,554 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _rule_metrics_df(spark: SparkSession, df: DataFrame, rules) -> DataFrame:
+    """One row per rule: counts + pass_rate (rounded for oracle parity)."""
+    from gchq_data_quality_spark.engine import compute_metrics
+
+    metrics = compute_metrics(df, rules, collect_samples=False)
+    rows = [
+        (
+            m.rule.rule_id,
+            int(m.records_evaluated),
+            int(m.records_passing),
+            round(m.pass_rate, 6) if m.pass_rate is not None else None,
+        )
+        for m in metrics
+    ]
+    return spark.createDataFrame(
+        rows, "rule_id string, records_evaluated long, records_passing long, pass_rate double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Quality-filter pipeline on the synthetic image+caption table: derive
+    scores (2 Arrow UDFs + native heuristics), annotate keep/drop + scrub,
+    and return the single-pass audit table (one row per rule)."""
+    from gchq_data_quality_spark.functions.langid import train_langid
+    from gchq_data_quality_spark.functions.perplexity import train_perplexity
+    from gchq_data_quality_spark.pipeline import QualityFilterConfig, QualityFilterPipeline
+    from gchq_data_quality_spark.sources.synthetic import (
+        LANGUAGES,
+        generate_images_df,
+        training_corpus,
+    )
+
+    texts, labels = training_corpus()
+    pipe = QualityFilterPipeline(
+        QualityFilterConfig(allowed_langs=LANGUAGES),
+        train_langid(texts, labels),
+        train_perplexity(texts),
+    )
+    images = generate_images_df(spark, 400)
+    return pipe.audit_df(pipe.annotate(images))
+
+
+# ---------------------------------------------------------------------------
+# rule-metric queries (engine vs SUM(CASE WHEN ...) oracles)
+# ---------------------------------------------------------------------------
+
+def _q_rule_completeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import CompletenessRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "documents"),
+        [CompletenessRule(field="text", rule_id="r")],
+    )
+
+
+def _q_rule_completeness_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import CompletenessRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "events"),
+        [CompletenessRule(field="event_type", na_values=["error"], rule_id="r")],
+    )
+
+
+def _q_rule_uniqueness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import UniquenessRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "events"),
+        [UniquenessRule(field="user_id", rule_id="r")],
+    )
+
+
+def _q_rule_accuracy_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import AccuracyRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "events"),
+        [AccuracyRule(field="event_type", valid_values=["click", "view", "purchase"], rule_id="r")],
+    )
+
+
+def _q_rule_accuracy_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import AccuracyRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "events"),
+        [AccuracyRule(field="event_type", valid_values=["error"], inverse=True, rule_id="r")],
+    )
+
+
+def _q_rule_validity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import ValidityNumericalRangeRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "events"),
+        [ValidityNumericalRangeRule(field="value", min_value=10, max_value=400, rule_id="r")],
+    )
+
+
+def _q_rule_validity_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import ValidityRegexRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "documents"),
+        [ValidityRegexRule(field="source", regex_pattern="src1[0-9]", rule_id="r")],
+    )
+
+
+def _q_rule_consistency_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import ConsistencyRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "lineitem"),
+        [ConsistencyRule(field="l_discount", expression="`l_discount` <= 0.05", rule_id="r")],
+    )
+
+
+def _q_rule_consistency_ifthen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import ConsistencyRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "events"),
+        [
+            ConsistencyRule(
+                field="value",
+                expression={"if": "`event_type` == 'purchase'", "then": "`value` > 50"},
+                rule_id="r",
+            )
+        ],
+    )
+
+
+def _q_rule_timeliness_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import TimelinessStaticRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "events"),
+        [
+            TimelinessStaticRule(
+                field="ts", start_date="2024-01-10", end_date="2024-01-20", rule_id="r"
+            )
+        ],
+    )
+
+
+def _q_rule_timeliness_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark import TimelinessRelativeRule
+
+    return _rule_metrics_df(
+        spark, _read(spark, sf_dir, "events"),
+        [
+            TimelinessRelativeRule(
+                field="ts",
+                start_timedelta="0d",
+                end_timedelta="5d",
+                reference_date="2024-01-15",
+                rule_id="r",
+            )
+        ],
+    )
+
+
+def _q_rules_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-config single-pass execution: many rules, ONE aggregation job."""
+    from gchq_data_quality_spark import (
+        AccuracyRule,
+        CompletenessRule,
+        ConsistencyRule,
+        TimelinessStaticRule,
+        UniquenessRule,
+        ValidityNumericalRangeRule,
+    )
+
+    rules = [
+        CompletenessRule(field="event_type", rule_id="complete"),
+        UniquenessRule(field="event_id", rule_id="unique"),
+        AccuracyRule(field="event_type", valid_values=["click", "view"], rule_id="accurate"),
+        ValidityNumericalRangeRule(field="value", min_value=0, max_value=250, rule_id="range"),
+        ConsistencyRule(field="value", expression="`value` >= 0", rule_id="consistent"),
+        TimelinessStaticRule(field="ts", start_date="2024-01-01", end_date="2024-02-01", rule_id="timely"),
+    ]
+    return _rule_metrics_df(spark, _read(spark, sf_dir, "events"), rules)
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity / classic plans
+# ---------------------------------------------------------------------------
+
+def _q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark.functions.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.agg(
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _q_doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark.functions.text import alpha_ratio, digit_ratio
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.agg(
+        F.sum((alpha_ratio(F.col("text")) >= 0.5).cast("long")).alias("n_alpha_ok"),
+        F.sum((digit_ratio(F.col("text")) > 0.2).cast("long")).alias("n_digit_heavy"),
+        F.sum((F.length("text") >= 100).cast("long")).alias("n_long"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    groups = (
+        docs.select(norm.alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_dup_rows"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_groups"),
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark.functions.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = (
+        emb.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    topk = brute_force_topk(emb, queries, k=5)
+    return topk.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank"
+    )
+
+
+def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- rows-only (no SQL oracle: model scoring / LSH / pipeline) -------------
+
+def _q_pipeline_keep_by_defect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark.functions.langid import train_langid
+    from gchq_data_quality_spark.functions.perplexity import train_perplexity
+    from gchq_data_quality_spark.pipeline import QualityFilterConfig, QualityFilterPipeline
+    from gchq_data_quality_spark.sources.synthetic import (
+        LANGUAGES,
+        generate_images_df,
+        training_corpus,
+    )
+
+    texts, labels = training_corpus()
+    pipe = QualityFilterPipeline(
+        QualityFilterConfig(allowed_langs=LANGUAGES),
+        train_langid(texts, labels),
+        train_perplexity(texts),
+    )
+    out = pipe.annotate(generate_images_df(spark, 600))
+    return (
+        out.groupBy("defect")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.col("expected_keep").cast("long")).alias("n_expected_kept"),
+            F.sum((F.col("keep") == F.col("expected_keep")).cast("long")).alias("n_agree"),
+        )
+        .orderBy("defect")
+    )
+
+
+def _q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark.functions.langid import (
+        train_langid_from_documents,
+        with_langid,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    model = train_langid_from_documents(spark, docs)
+    scored = with_langid(docs, model, text_col="text", out_prefix="pred_")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("pred_lang") == F.col("lang")).cast("long")).alias("n_correct"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark.functions.dedup import minhash_candidate_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    return pairs.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gchq_data_quality_spark.functions.dedup import simhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents").limit(500)
+    pairs = simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=8)
+    return pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rule_completeness_docs": _q_rule_completeness_docs,
+        "rule_completeness_na": _q_rule_completeness_na,
+        "rule_uniqueness_users": _q_rule_uniqueness_users,
+        "rule_accuracy_event_type": _q_rule_accuracy_event_type,
+        "rule_accuracy_inverse": _q_rule_accuracy_inverse,
+        "rule_validity_range": _q_rule_validity_range,
+        "rule_validity_regex": _q_rule_validity_regex,
+        "rule_consistency_simple": _q_rule_consistency_simple,
+        "rule_consistency_ifthen": _q_rule_consistency_ifthen,
+        "rule_timeliness_static": _q_rule_timeliness_static,
+        "rule_timeliness_relative": _q_rule_timeliness_relative,
+        "rules_single_pass": _q_rules_single_pass,
+        "text_stats_by_lang": _q_text_stats_by_lang,
+        "token_counts": _q_token_counts,
+        "doc_quality_flags": _q_doc_quality_flags,
+        "dedup_exact": _q_dedup_exact,
+        "embedding_topk": _q_embedding_topk,
+        "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "segment_revenue": _q_segment_revenue,
+        "pipeline_keep_by_defect": _q_pipeline_keep_by_defect,
+        "langid_documents": _q_langid_documents,
+        "minhash_candidates": _q_minhash_candidates,
+        "simhash_pairs": _q_simhash_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rule_row = (
+        "SELECT 'r' AS rule_id, {evaluated} AS records_evaluated, "
+        "{passing} AS records_passing, "
+        "CASE WHEN {evaluated} > 0 THEN ROUND(CAST({passing} AS DOUBLE) / {evaluated}, 6) END AS pass_rate "
+        "FROM {table}"
+    )
+    return {
+        "rule_completeness_docs": rule_row.format(
+            evaluated="COUNT(*)",
+            passing="SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)",
+            table="documents",
+        ),
+        "rule_completeness_na": rule_row.format(
+            evaluated="COUNT(*)",
+            passing="SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 1 ELSE 0 END)",
+            table="events",
+        ),
+        "rule_uniqueness_users": rule_row.format(
+            evaluated="COUNT(user_id)",
+            passing="COUNT(DISTINCT user_id)",
+            table="events",
+        ),
+        "rule_accuracy_event_type": rule_row.format(
+            evaluated="COUNT(event_type)",
+            passing="SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END)",
+            table="events",
+        ),
+        "rule_accuracy_inverse": rule_row.format(
+            evaluated="COUNT(event_type)",
+            passing="SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 1 ELSE 0 END)",
+            table="events",
+        ),
+        "rule_validity_range": rule_row.format(
+            evaluated="COUNT(value)",
+            passing="SUM(CASE WHEN value BETWEEN 10 AND 400 THEN 1 ELSE 0 END)",
+            table="events",
+        ),
+        "rule_validity_regex": rule_row.format(
+            evaluated="COUNT(source)",
+            passing="SUM(CASE WHEN regexp_matches(source, '^(?:src1[0-9])') THEN 1 ELSE 0 END)",
+            table="documents",
+        ),
+        "rule_consistency_simple": rule_row.format(
+            evaluated="COUNT(l_discount)",
+            passing="SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END)",
+            table="lineitem",
+        ),
+        "rule_consistency_ifthen": rule_row.format(
+            evaluated="SUM(CASE WHEN event_type = 'purchase' AND NOT (event_type IS NULL AND value IS NULL) THEN 1 ELSE 0 END)",
+            passing="SUM(CASE WHEN event_type = 'purchase' AND value > 50 THEN 1 ELSE 0 END)",
+            table="events",
+        ),
+        "rule_timeliness_static": rule_row.format(
+            evaluated="COUNT(ts)",
+            passing="SUM(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)",
+            table="events",
+        ),
+        "rule_timeliness_relative": rule_row.format(
+            evaluated="COUNT(ts)",
+            passing="SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)",
+            table="events",
+        ),
+        "rules_single_pass": """
+            SELECT 'complete' AS rule_id, COUNT(*) AS records_evaluated,
+                   COUNT(event_type) AS records_passing,
+                   ROUND(CAST(COUNT(event_type) AS DOUBLE)/COUNT(*), 6) AS pass_rate FROM events
+            UNION ALL
+            SELECT 'unique', COUNT(event_id), COUNT(DISTINCT event_id),
+                   ROUND(CAST(COUNT(DISTINCT event_id) AS DOUBLE)/COUNT(event_id), 6) FROM events
+            UNION ALL
+            SELECT 'accurate', COUNT(event_type),
+                   SUM(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END),
+                   ROUND(CAST(SUM(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(event_type), 6) FROM events
+            UNION ALL
+            SELECT 'range', COUNT(value),
+                   SUM(CASE WHEN value BETWEEN 0 AND 250 THEN 1 ELSE 0 END),
+                   ROUND(CAST(SUM(CASE WHEN value BETWEEN 0 AND 250 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(value), 6) FROM events
+            UNION ALL
+            SELECT 'consistent', SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END),
+                   ROUND(CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS DOUBLE)/SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END), 6) FROM events
+            UNION ALL
+            SELECT 'timely', COUNT(ts),
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END),
+                   ROUND(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(ts), 6) FROM events
+        """,
+        "text_stats_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                   ROUND(AVG(n_chars), 4) AS avg_chars, MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "token_counts": r"""
+            SELECT SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LEN(string_split_regex(TRIM(text), '\s+')) END) AS total_tokens,
+                   SUM(LENGTH(text)) AS total_chars,
+                   COUNT(*) AS n_docs
+            FROM documents
+        """,
+        "doc_quality_flags": r"""
+            SELECT SUM(CASE WHEN LENGTH(text) > 0 AND
+                        CAST(LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)/LENGTH(text) >= 0.5
+                        THEN 1 ELSE 0 END) AS n_alpha_ok,
+                   SUM(CASE WHEN LENGTH(text) > 0 AND
+                        CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)/LENGTH(text) > 0.2
+                        THEN 1 ELSE 0 END) AS n_digit_heavy,
+                   SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END) AS n_long
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            SELECT COUNT(*) AS n_distinct_texts,
+                   COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS n_dup_rows,
+                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+            FROM (
+                SELECT regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS norm_text,
+                       COUNT(*) AS n
+                FROM documents GROUP BY 1
+            )
+        """,
+        "embedding_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS raw_cos
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id, ROUND(raw_cos, 4) AS cosine,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        # pipeline_keep_by_defect / langid_documents / minhash_candidates /
+        # simhash_pairs: model-scoring and LSH ops — no SQL equivalent,
+        # rows-only check.
+    }

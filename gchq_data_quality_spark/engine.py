@@ -116,12 +116,12 @@ def _collect_sample(
     return sample, ids
 
 
-def evaluate_rules(
+def compute_metrics(
     df: DataFrame,
     rules: list[BaseRule],
     collect_samples: bool = True,
     row_id_col: str | None = None,
-) -> list[DataQualityResult]:
+) -> list[RuleMetrics]:
     """Evaluate all rules; one aggregation job per explosion signature.
 
     ``row_id_col``: optional stable id column — when given, failing-record ids
@@ -178,7 +178,20 @@ def evaluate_rules(
                 )
             metrics[i] = m
 
-    return [metrics[i].to_result() for i in range(len(rules))]
+    return [metrics[i] for i in range(len(rules))]
+
+
+def evaluate_rules(
+    df: DataFrame,
+    rules: list[BaseRule],
+    collect_samples: bool = True,
+    row_id_col: str | None = None,
+) -> list[DataQualityResult]:
+    """compute_metrics + wrap each RuleMetrics as a DataQualityResult."""
+    return [
+        m.to_result()
+        for m in compute_metrics(df, rules, collect_samples, row_id_col)
+    ]
 
 
 def annotate(

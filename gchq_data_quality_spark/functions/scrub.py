@@ -1,0 +1,76 @@
+"""PII / toxicity scrubbing: a compiled chain of native regexp_replace calls.
+
+The scrub patterns are assembled ONCE at config-compile time into a sequence
+of Java-regex replacements; Catalyst executes them inside whole-stage codegen
+(the JVM compiles each pattern a single time per task). No Python per row.
+
+Determinism: patterns apply in a fixed order (emails before phone numbers
+before generic digits) so the scrubbed output is reproducible byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Order matters: more specific patterns first.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # emails
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # URLs (before phone so digits inside URLs don't half-match)
+    (r"(?i)\bhttps?://[^\s<>\"]+", "<URL>"),
+    # IPv4
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # international-ish phone numbers: +44 20 7946 0958, (555) 123-4567, 555-123-4567
+    (r"(?:(?<=\s)|^)(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3,4}[ .-]\d{3,4}(?:[ .-]\d{3,4})?\b", "<PHONE>"),
+    # 16-digit card-ish numbers
+    (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CARD>"),
+    # US SSN shape
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+# Deterministic toxicity term list (project-neutral placeholder lexicon; the
+# synthetic data generator injects exactly these tokens).
+TOXICITY_TERMS: list[str] = [
+    "badword1", "badword2", "badword3", "slur1", "slur2", "curse1", "curse2",
+]
+
+
+@dataclass
+class Scrubber:
+    """Compiled scrub plan: PII patterns + a single toxicity alternation."""
+
+    pii_patterns: list[tuple[str, str]] = field(default_factory=lambda: list(PII_PATTERNS))
+    toxicity_terms: list[str] = field(default_factory=lambda: list(TOXICITY_TERMS))
+    toxicity_replacement: str = "<TOX>"
+
+    def toxicity_regex(self) -> str:
+        import re as _re
+
+        terms = "|".join(_re.escape(t) for t in sorted(self.toxicity_terms, key=len, reverse=True))
+        return rf"(?i)\b(?:{terms})\b"
+
+    def apply(self, col: Column) -> Column:
+        """caption -> caption_scrubbed (chained regexp_replace Columns)."""
+        out = col
+        for pattern, replacement in self.pii_patterns:
+            out = F.regexp_replace(out, pattern, replacement)
+        if self.toxicity_terms:
+            out = F.regexp_replace(out, self.toxicity_regex(), self.toxicity_replacement)
+        return out
+
+    def hit_column(self, col: Column) -> Column:
+        """True where the text contains any PII/toxicity (pre-scrub flag)."""
+        hit = F.lit(False)
+        for pattern, _ in self.pii_patterns:
+            hit = hit | col.rlike(pattern)
+        if self.toxicity_terms:
+            hit = hit | col.rlike(self.toxicity_regex())
+        return hit
+
+
+def scrub_text(col: Column) -> Column:
+    """Default-scrubber convenience wrapper."""
+    return Scrubber().apply(col)

@@ -1,0 +1,127 @@
+"""Approximate-nearest-neighbour search over an embedding column.
+
+- brute_force_topk : exact cosine top-k per query (baseline/oracle) —
+  broadcast the (small) query set, cross-evaluate with native array exprs,
+  rank with a window. Cost O(n_rows * n_queries), fine for verification.
+- ivf_topk         : the scale path — a coarse IVF index: k-means-ish
+  centroids picked deterministically, every row assigned to its nearest
+  centroid (one pass), queries probe only the nearest `n_probe` cells.
+  At 10^12 rows this turns a full scan per query into a partition-pruned
+  fraction (n_probe / n_cells) of the data.
+
+Everything is Spark-native: dot products via zip_with + aggregate, ranking
+via window functions; the centroid table is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gchq_data_quality_spark.functions.dedup import cosine_similarity
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank).
+
+    ``queries``: (query_id, embedding). The query side is broadcast — the big
+    table is scanned ONCE for all queries (never once per query).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    joined = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """(indexed_df, centroids): assign every row to its nearest centroid.
+
+    Centroids are chosen deterministically: the rows whose xxhash64(id) is
+    smallest (a seedless reservoir). One shuffle to write the cell column —
+    at scale you'd persist the indexed table partitioned by cell so probes
+    prune partitions.
+    """
+    centroids = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .withColumn("cell", F.monotonically_increasing_id())
+        .select("cell", F.col(vec_col).alias("centroid"))
+    )
+    cells = centroids.collect()
+    # assignment: argmax cosine over the (tiny, collected) centroid list,
+    # expressed as a greatest-of struct comparison — stays in codegen.
+    best = None
+    for row in cells:
+        centroid = F.array(*[F.lit(float(x)) for x in row["centroid"]])
+        sim = cosine_similarity(F.col(vec_col), centroid)
+        candidate = F.struct(sim.alias("sim"), F.lit(row["cell"]).alias("cell"))
+        best = candidate if best is None else F.greatest(best, candidate)
+    indexed = df.withColumn("cell", best["cell"])
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k probing only the n_probe nearest cells per query."""
+    cents = centroids.collect()
+    q_rows = queries.collect()
+    probe_pairs = []
+    for q in q_rows:
+        sims = []
+        for c in cents:
+            qa, ca = q[vec_col], c["centroid"]
+            dot = sum(x * y for x, y in zip(qa, ca, strict=True))
+            norm = (sum(x * x for x in qa) ** 0.5) * (sum(y * y for y in ca) ** 0.5)
+            sims.append((dot / norm if norm else 0.0, c["cell"]))
+        sims.sort(reverse=True)
+        for _, cell in sims[:n_probe]:
+            probe_pairs.append((q[query_id_col], cell, list(q[vec_col])))
+    spark = indexed.sparkSession
+    probes = spark.createDataFrame(
+        probe_pairs, f"{query_id_col} long, cell long, __qvec array<float>"
+    )
+    joined = indexed.join(F.broadcast(probes), "cell")
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,245 @@
+"""QualityFilterPipeline: langid + perplexity + heuristic rules + PII scrub.
+
+The north-rule pipeline over the image+caption table
+(image_id, bytes, w, h, fmt, caption, phash):
+
+1. **Derive** scoring columns in ONE projection: native text heuristics
+   (length, alpha ratio, repetition — pure Column exprs) plus the two
+   Arrow-batched pandas UDFs (langid, perplexity) with broadcast models.
+2. **Rules** over the derived columns reuse the engine's own rule chassis
+   (ValidityNumericalRangeRule / AccuracyRule / CompletenessRule /
+   ConsistencyRule) — each compiles to (evaluated, passing) Columns.
+3. **Annotate**: per-rule evaluated/passing boolean columns + the keep/drop
+   combiner (keep = AND over (passing OR not-evaluated)) + caption_scrubbed
+   via the compiled regexp chain. Image bytes pass through untouched.
+4. **Audit**: ONE aggregation of conditional sums over the flag columns ->
+   one DataQualityResult row per rule (same shape as the reference's
+   DataQualityResult, results/models.py:52-144).
+
+Scale design: the whole thing is a single stage until the audit's 1-row
+reduce — no joins, no wide shuffle. Optional salted repartition on the phash
+prefix defeats caption-duplication skew (hot phash clusters spread across
+``salt`` buckets deterministically via xxhash64(image_id), no rand()).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gchq_data_quality_spark.functions import text as text_fns
+from gchq_data_quality_spark.functions.images import metadata_consistent
+from gchq_data_quality_spark.functions.langid import LangIdModel, langid_udf
+from gchq_data_quality_spark.functions.perplexity import PerplexityModel, perplexity_udf
+from gchq_data_quality_spark.functions.scrub import Scrubber
+from gchq_data_quality_spark.operators.accuracy import AccuracyRule
+from gchq_data_quality_spark.operators.base import BaseRule, CompiledRule
+from gchq_data_quality_spark.operators.completeness import CompletenessRule
+from gchq_data_quality_spark.operators.consistency import ConsistencyRule
+from gchq_data_quality_spark.operators.validity import ValidityNumericalRangeRule
+from gchq_data_quality_spark.results import (
+    DataQualityReport,
+    DataQualityResult,
+    calculate_pass_rate,
+)
+
+
+@dataclass
+class QualityFilterConfig:
+    caption_col: str = "caption"
+    id_col: str = "image_id"
+    min_caption_len: int = 5
+    max_caption_len: int = 2000
+    alpha_ratio_min: float = 0.5
+    repetition_max: float = 0.4
+    allowed_langs: list[str] | None = None
+    lang_confidence_min: float = 0.3
+    ppl_max: float = 150.0
+    check_image_metadata: bool = True
+    scrubber: Scrubber = dc_field(default_factory=Scrubber)
+    salt: int | None = None  # salt buckets for skew-safe repartition
+    repartition_to: int | None = None
+
+
+class QualityFilterPipeline:
+    def __init__(
+        self,
+        config: QualityFilterConfig,
+        langid_model: LangIdModel | None = None,
+        ppl_model: PerplexityModel | None = None,
+    ):
+        self.config = config
+        self.langid_model = langid_model
+        self.ppl_model = ppl_model
+
+    # ------------------------------------------------------------------
+    def rules(self) -> list[BaseRule]:
+        c = self.config
+        rules: list[BaseRule] = [
+            CompletenessRule(field=c.caption_col, rule_id="caption_present"),
+            ValidityNumericalRangeRule(
+                field="caption_len",
+                min_value=c.min_caption_len,
+                max_value=c.max_caption_len,
+                rule_id="caption_length",
+            ),
+            ValidityNumericalRangeRule(
+                field="alpha_ratio", min_value=c.alpha_ratio_min, rule_id="charset"
+            ),
+            ValidityNumericalRangeRule(
+                field="repetition", max_value=c.repetition_max, rule_id="repetition"
+            ),
+        ]
+        if self.langid_model is not None:
+            if c.allowed_langs:
+                rules.append(
+                    AccuracyRule(
+                        field="lang", valid_values=list(c.allowed_langs), rule_id="lang_allowed"
+                    )
+                )
+            rules.append(
+                ValidityNumericalRangeRule(
+                    field="lang_confidence",
+                    min_value=c.lang_confidence_min,
+                    rule_id="lang_confident",
+                )
+            )
+        if self.ppl_model is not None:
+            rules.append(
+                ValidityNumericalRangeRule(
+                    field="ppl", max_value=c.ppl_max, rule_id="perplexity"
+                )
+            )
+        if c.check_image_metadata:
+            rules.append(
+                ConsistencyRule(
+                    field="meta_ok", expression="`meta_ok`", skip_if_null="never",
+                    rule_id="image_metadata",
+                )
+            )
+        return rules
+
+    # ------------------------------------------------------------------
+    def derive(self, df: DataFrame) -> DataFrame:
+        """Add scoring columns (one projection; UDFs batched via Arrow)."""
+        c = self.config
+        caption = F.col(c.caption_col)
+
+        if c.salt and c.repartition_to:
+            # skew-safe shuffle: hot phash prefixes spread over `salt` buckets;
+            # deterministic (hash of the row id, no rand()).
+            salt_col = F.pmod(F.xxhash64(F.col(c.id_col)), F.lit(c.salt))
+            prefix = F.substring(F.hex(F.col("phash")), 1, 4)
+            df = df.repartition(c.repartition_to, F.concat_ws("_", prefix, salt_col))
+
+        def null_guard(expr):
+            return F.when(caption.isNull(), F.lit(None)).otherwise(expr)
+
+        df = (
+            df.withColumn("caption_len", F.length(caption))
+            .withColumn("alpha_ratio", null_guard(text_fns.alpha_ratio(caption)))
+            .withColumn("repetition", null_guard(text_fns.repetition_ratio(caption)))
+        )
+        if c.check_image_metadata:
+            df = df.withColumn(
+                "meta_ok",
+                metadata_consistent(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")),
+            )
+        if self.langid_model is not None:
+            udf = langid_udf(df.sparkSession, self.langid_model)
+            df = (
+                df.withColumn("__lid", udf(caption))
+                .withColumn("lang", F.col("__lid.lang"))
+                .withColumn("lang_confidence", F.col("__lid.confidence"))
+                .drop("__lid")
+            )
+        if self.ppl_model is not None:
+            udf = perplexity_udf(df.sparkSession, self.ppl_model)
+            df = df.withColumn("ppl", udf(caption))
+        return df
+
+    def _compiled(self, df: DataFrame) -> list[CompiledRule]:
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        return [r.compile(F.col, dtypes.__getitem__) for r in self.rules()]
+
+    def annotate(self, df: DataFrame) -> DataFrame:
+        """derive + per-rule flags + keep + caption_scrubbed (all lazy)."""
+        c = self.config
+        derived = self.derive(df)
+        compiled = self._compiled(derived)
+
+        keep = F.lit(True)
+        out = derived
+        for cr in compiled:
+            rid = cr.rule.rule_id
+            out = out.withColumn(f"dq_{rid}_evaluated", cr.evaluated)
+            out = out.withColumn(f"dq_{rid}_passing", cr.passing_filled())
+            keep = keep & (F.col(f"dq_{rid}_passing") | ~F.col(f"dq_{rid}_evaluated"))
+        out = out.withColumn("keep", keep)
+        out = out.withColumn(
+            "caption_scrubbed",
+            F.when(F.col(c.caption_col).isNull(), F.lit(None)).otherwise(
+                c.scrubber.apply(F.col(c.caption_col))
+            ),
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    def audit(self, annotated: DataFrame) -> DataQualityReport:
+        """One aggregation over the flag columns -> per-rule results."""
+        rules = self.rules()
+        aggs = []
+        for rule in rules:
+            rid = rule.rule_id
+            aggs.append(F.sum(F.col(f"dq_{rid}_evaluated").cast("long")).alias(f"e_{rid}"))
+            aggs.append(
+                F.sum(
+                    (F.col(f"dq_{rid}_evaluated") & F.col(f"dq_{rid}_passing")).cast("long")
+                ).alias(f"p_{rid}")
+            )
+        aggs.append(F.sum(F.col("keep").cast("long")).alias("__kept"))
+        aggs.append(F.count(F.lit(1)).alias("__total"))
+        row = annotated.agg(*aggs).collect()[0]
+
+        results = []
+        for rule in rules:
+            evaluated = int(row[f"e_{rule.rule_id}"] or 0)
+            passing = int(row[f"p_{rule.rule_id}"] or 0)
+            results.append(
+                DataQualityResult(
+                    field=rule.field,
+                    data_quality_dimension=rule.data_quality_dimension,
+                    records_evaluated=evaluated,
+                    pass_rate=calculate_pass_rate(passing, evaluated),
+                    rule_id=rule.rule_id,
+                    rule_data=rule.to_json(),
+                    dataset_name="images",
+                    measurement_sample=f"kept={int(row['__kept'] or 0)}/total={int(row['__total'] or 0)}",
+                )
+            )
+        return DataQualityReport(results=results)
+
+    def audit_df(self, annotated: DataFrame) -> DataFrame:
+        """Audit report as a Spark DataFrame (for writing to an audit table)."""
+        report = self.audit(annotated)
+        spark = annotated.sparkSession
+        rows = [
+            {
+                "rule_id": r.rule_id,
+                "field": r.field,
+                "dimension": r.data_quality_dimension.value,
+                "records_evaluated": r.records_evaluated,
+                "pass_rate": r.pass_rate,
+                "rule_data": r.rule_data,
+                "measurement_time": r.measurement_time,
+                "measurement_sample": r.measurement_sample,
+            }
+            for r in report.results
+        ]
+        return spark.createDataFrame(rows)
+
+    def run(self, df: DataFrame) -> tuple[DataFrame, DataQualityReport]:
+        annotated = self.annotate(df)
+        return annotated, self.audit(annotated)

@@ -1,0 +1,126 @@
+"""Dedup + similarity operators: planted duplicates must be found, exact
+top-k must match a numpy oracle, IVF must agree with brute force on recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gchq_data_quality_spark.functions.dedup import (
+    duplicate_groups,
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+)
+from gchq_data_quality_spark.functions.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # high jaccard
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, "  The QUICK brown fox jumps over the lazy dog near the river bank today "),  # normalised dup
+        (3, near),                      # near dup of 0
+        (4, "completely different content about machine learning pipelines and spark"),
+        (5, "yet another unrelated sentence mentioning databases and storage engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs, "text", "doc_id")
+    ids = {r.doc_id for r in kept.collect()}
+    # 0,1,2 normalise identically -> keep min id 0
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert {3, 4, 5} <= ids
+
+
+def test_duplicate_groups(spark, docs):
+    groups = duplicate_groups(docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n"] == 3
+    assert groups[0]["keeper_id"] == 0
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_candidate_pairs(docs, "text", "doc_id").collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 3) in pairs or (1, 3) in pairs or (2, 3) in pairs  # near dup found
+    # unrelated docs should not pair with everything
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    verified = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert rows[(0, 1)] == pytest.approx(1.0)
+    assert all(j >= 0.6 for j in rows.values())
+
+
+def test_minhash_dedup_drops_near_dups(spark, docs):
+    kept = {r.doc_id for r in minhash_dedup(docs, "text", "doc_id", threshold=0.6).collect()}
+    assert 0 in kept
+    assert 1 not in kept
+    assert {4, 5} <= kept
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(40, 16))
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=16)  # near dup of 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    df, vecs = embeddings
+    queries = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(df, queries, k=5).orderBy("rank").collect()
+
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms[0]
+    order = np.argsort(-sims)[:5]
+    assert [r.vec_id for r in got] == [int(i) for i in order]
+    assert got[0].vec_id == 0
+    assert got[1].vec_id == 1  # the planted near-dup
+
+
+def test_embedding_dedup_pairs(spark, embeddings):
+    df, _ = embeddings
+    pairs = {(r.id_a, r.id_b) for r in embedding_dedup_pairs(df, "embedding", "vec_id", threshold=0.98).collect()}
+    assert (0, 1) in pairs
+
+
+def test_ivf_recall(spark, embeddings):
+    df, vecs = embeddings
+    indexed, centroids = build_ivf_index(df, n_cells=4)
+    queries = df.filter("vec_id IN (0, 7)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(df, queries, k=3)
+    approx = ivf_topk(indexed, centroids, queries, k=3, n_probe=3)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.66  # probing 3/4 cells
+
+
+def test_explain_no_cartesian(spark, docs):
+    """The LSH candidate join must be an equi-join on band buckets, never a
+    cartesian product."""
+    plan = minhash_candidate_pairs(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

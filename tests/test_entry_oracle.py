@@ -1,0 +1,92 @@
+"""Simulates the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() twin on DuckDB over the same parquet tables, then
+compare row counts, column names, and order-insensitive values.
+
+Uses sf0.001 for speed (the driver runs sf0.01 — same generators, same code
+paths).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+pytestmark = pytest.mark.skipif(
+    not Path(SF_DIR).exists(), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if Path(path).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalise(value):
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return None
+        return round(value, 4)
+    if isinstance(value, int):
+        return float(value)
+    return str(value)
+
+
+def _rows_to_multiset(columns, rows):
+    # driver compare: sort columns by name, then sort rows
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_normalise(row[i]) for i in order) for row in rows)
+
+
+ORACLE = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, duck, name):
+    spark_df = QUERIES[name](spark, SF_DIR)
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    result = duck.execute(ORACLE[name])
+    duck_cols = [d[0] for d in result.description]
+    duck_rows = result.fetchall()
+
+    assert sorted(c.lower() for c in spark_cols) == sorted(c.lower() for c in duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
+    assert _rows_to_multiset(spark_cols, spark_rows) == _rows_to_multiset(
+        duck_cols, duck_rows
+    ), f"{name}: value mismatch"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "pass_rate" in df.columns
