@@ -93,13 +93,17 @@ def batch_ngram_features(
 
 
 def reduce_per_doc(values: np.ndarray, doc_idx: np.ndarray, n_docs: int) -> np.ndarray:
-    """Sum ``values`` grouped by doc_idx -> array of length n_docs."""
-    out = np.zeros(n_docs, dtype=np.float64)
-    np.add.at(out, doc_idx, values)
-    return out
+    """Sum ``values`` grouped by doc_idx -> array of length n_docs.
+
+    np.bincount, not np.add.at — add.at's unbuffered fancy indexing is
+    ~20x slower and dominated scoring profiles on large Arrow batches.
+    """
+    if len(values) == 0:
+        return np.zeros(n_docs, dtype=np.float64)
+    return np.bincount(doc_idx, weights=values, minlength=n_docs)
 
 
 def count_per_doc(doc_idx: np.ndarray, n_docs: int) -> np.ndarray:
-    out = np.zeros(n_docs, dtype=np.int64)
-    np.add.at(out, doc_idx, 1)
-    return out
+    if len(doc_idx) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    return np.bincount(doc_idx, minlength=n_docs)

