@@ -82,17 +82,22 @@ def _shingles(col: Column, k: int = 5) -> Column:
 
 
 def _minhash_signature(shingle_col: Column, n_hashes: int) -> Column:
-    """array<long> of length n_hashes: min over shingles of xxhash64(s, seed).
+    """array<long> of length n_hashes: min over shingles per hash family.
 
-    xxhash64 with a per-band integer literal as an extra hashed value gives n
-    independent-enough hash families, all JVM-side.
+    The shingle STRINGS are hashed once (xxhash64); each of the n families
+    then remixes the resulting 64-bit values (xxhash64 over the long + a
+    family-id literal — fixed 8-byte input, far cheaper than re-hashing
+    variable-length strings n times). All JVM-side, no UDF.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(n_hashes)
-        ]
-    )
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+    def family(i: int) -> Column:
+        def remix(h):
+            return F.xxhash64(h, F.lit(i))
+
+        return F.array_min(F.transform(base, remix))
+
+    return F.array(*[family(i) for i in range(n_hashes)])
 
 
 def minhash_signatures(

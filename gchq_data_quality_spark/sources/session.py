@@ -24,6 +24,11 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        # A data-quality engine must keep evaluating in the presence of bad
+        # data: classic (non-ANSI) semantics turn overflow / bad casts /
+        # div-by-zero into NULLs that the rule algebra counts as failures or
+        # skips, instead of aborting a 10^12-row job on one malformed row.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

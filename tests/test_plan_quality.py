@@ -1,0 +1,106 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in .explain output at any scale.
+
+- parquet scans must show PushedFilters / pruned ReadSchema
+- the engine's audit must be a partial->final hash aggregate (map-side combine)
+- dimension joins must broadcast, LSH joins must never be cartesian
+- the pipeline must keep rule expressions inside whole-stage codegen
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gchq_data_quality_spark import CompletenessRule, ValidityNumericalRangeRule
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, events):
+    df = events.filter(F.col("event_type") == "click").select("event_id")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_in_rule_aggregation(spark, events):
+    """A single-column rule over a 6-column table must scan ONE column."""
+    from gchq_data_quality_spark.operators.base import BaseRule  # noqa: F401
+
+    dtypes = {f.name: f.dataType for f in events.schema.fields}
+    rule = CompletenessRule(field="event_type")
+    cr = rule.compile(F.col, dtypes.__getitem__)
+    agg = events.agg(F.sum(cr.passing_filled().cast("long")))
+    plan = _plan(agg)
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "event_type" in read_schema
+    assert "value" not in read_schema and "props" not in read_schema
+
+
+def test_audit_is_partial_final_hash_aggregate(spark, events):
+    dtypes = {f.name: f.dataType for f in events.schema.fields}
+    rules = [
+        CompletenessRule(field="event_type"),
+        ValidityNumericalRangeRule(field="value", min_value=0, max_value=100),
+    ]
+    aggs = []
+    for r in rules:
+        cr = r.compile(F.col, dtypes.__getitem__)
+        aggs.append(F.sum(cr.evaluated.cast("long")))
+        aggs.append(F.sum(cr.passing_filled().cast("long")))
+    plan = _plan(events.agg(*aggs))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.count("Exchange") == 1  # single 1-row exchange, nothing else
+
+
+def test_segment_revenue_join_broadcasts(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    plan = _plan(joined.groupBy("c_mktsegment").count())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_single_stage_until_agg(spark):
+    """The annotate plan must contain no shuffle (Exchange) — scoring, rules
+    and scrub are all narrow transformations."""
+    from gchq_data_quality_spark.pipeline import QualityFilterConfig, QualityFilterPipeline
+    from gchq_data_quality_spark.sources.synthetic import generate_images_df
+
+    pipe = QualityFilterPipeline(QualityFilterConfig(), None, None)
+    annotated = pipe.annotate(generate_images_df(spark, 50))
+    assert "Exchange" not in _plan(annotated)
+
+
+def test_lsh_joins_never_cartesian(spark):
+    from gchq_data_quality_spark.functions.dedup import (
+        minhash_candidate_pairs,
+        simhash_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with some shared words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for pairs in (
+        minhash_candidate_pairs(docs, "text", "doc_id", n_hashes=8, bands=2),
+        simhash_dedup_pairs(docs, "text", "doc_id"),
+    ):
+        plan = _plan(pairs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
