@@ -92,6 +92,70 @@ def metadata_consistent(
     return F.when(fmt == "ppm", ppm_ok).otherwise(length > 0)
 
 
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize in pure numpy (index striding, no deps)."""
+    h, w, _ = pixels.shape
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return pixels[rows][:, cols]
+
+
+def sample_video_frames(data: bytes, fmt: str, every_n: int = 30) -> list[np.ndarray]:
+    """Frame sampling for video payloads — STUB.
+
+    Video codecs (ffmpeg/pyav) are not available in this environment; the
+    Spark-side plumbing (binary column in, array-of-frames out via
+    mapInPandas) is what the engine provides. Raises so callers fail loudly
+    rather than silently producing garbage.
+    """
+    raise NotImplementedError(
+        f"video frame sampling for {fmt!r} requires a codec library "
+        "(ffmpeg/pyav) not present in this environment"
+    )
+
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int,
+    id_col: str = "image_id", bytes_col: str = "bytes", fmt_col: str = "fmt",
+) -> DataFrame:
+    """Batched image resize via mapInPandas (PPM real, other codecs skipped).
+
+    Undecodable/unsupported rows pass through untouched (a transform in a
+    10^12-row pipeline must degrade per-row, never fail the task).
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes, out_ws, out_hs = [], [], []
+            for raw, fmt in zip(pdf[bytes_col], pdf[fmt_col], strict=True):
+                try:
+                    img = decode_image(bytes(raw), fmt)
+                    resized = resize_nearest(img, out_w, out_h)
+                    out_bytes.append(encode_ppm(resized))
+                    out_ws.append(out_w)
+                    out_hs.append(out_h)
+                except (NotImplementedError, ValueError):
+                    out_bytes.append(bytes(raw))
+                    out_ws.append(None)
+                    out_hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf[id_col],
+                    "bytes": out_bytes,
+                    "w": out_ws,
+                    "h": out_hs,
+                    "fmt": pdf[fmt_col],
+                }
+            )
+
+    return df.select(id_col, bytes_col, "w", "h", fmt_col).mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-side feature extraction (mapInPandas, Arrow batches)
 # ---------------------------------------------------------------------------

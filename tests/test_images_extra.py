@@ -1,0 +1,71 @@
+"""Multimodal plumbing: resize (real for PPM), feature extraction, stubs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gchq_data_quality_spark.functions.images import (
+    decode_ppm,
+    encode_ppm,
+    extract_image_features,
+    resize_images,
+    resize_nearest,
+    sample_video_frames,
+)
+from gchq_data_quality_spark.sources.synthetic import generate_images_df
+
+
+def test_resize_nearest_numpy():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 16, 3), dtype=np.uint8)
+    out = resize_nearest(img, 8, 8)
+    assert out.shape == (8, 8, 3)
+    # corner pixels map to source corners under nearest-neighbour
+    assert (out[0, 0] == img[0, 0]).all()
+
+
+def test_resize_images_spark(spark):
+    df = generate_images_df(spark, 20)
+    out = resize_images(df, 8, 8)
+    rows = out.collect()
+    assert len(rows) == 20
+    for row in rows:
+        assert row.w == 8 and row.h == 8
+        decoded = decode_ppm(bytes(row.bytes))
+        assert decoded.shape == (8, 8, 3)
+
+
+def test_resize_passthrough_on_unknown_codec(spark):
+    df = generate_images_df(spark, 5).withColumn(
+        "fmt", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("jpeg")
+    )
+    rows = resize_images(df, 8, 8).collect()
+    # unsupported codec -> original bytes pass through, dims null
+    assert all(r.w is None and r.h is None for r in rows)
+
+
+def test_feature_extraction(spark):
+    df = generate_images_df(spark, 10)
+    feats = extract_image_features(df).collect()
+    assert len(feats) == 10
+    assert all(f.decode_ok for f in feats)
+    for f in feats:
+        assert 0.0 <= f.brightness <= 255.0
+    # cross-check one image against a local decode
+    row = df.filter("image_id = 'img00000000'").collect()[0]
+    img = decode_ppm(bytes(row.bytes))
+    expected = img.reshape(-1, 3).mean(axis=0).mean()
+    got = [f for f in feats if f.image_id == "img00000000"][0].brightness
+    assert got == pytest.approx(float(expected), abs=1e-6)
+
+
+def test_video_stub_raises():
+    with pytest.raises(NotImplementedError, match="codec"):
+        sample_video_frames(b"xxxx", "mp4")
+
+
+def test_ppm_encode_decode_roundtrip_sizes():
+    for w, h in [(1, 1), (16, 24), (33, 7)]:
+        img = np.arange(w * h * 3, dtype=np.uint64).astype(np.uint8).reshape(h, w, 3)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
