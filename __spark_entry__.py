@@ -377,7 +377,7 @@ def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gchq_data_quality_spark.functions.dedup import simhash_dedup_pairs
 
-    docs = _read(spark, sf_dir, "documents").limit(500)
+    docs = _read(spark, sf_dir, "documents")
     pairs = simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=8)
     return pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
 
@@ -411,9 +411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # NOTE: every integer SUM is CAST to BIGINT — DuckDB returns SUM(int) as
+    # decimal128(38,0)/int128 in Arrow while Spark returns int64, which makes
+    # the driver's value-hash differ on numerically identical results.
     rule_row = (
-        "SELECT 'r' AS rule_id, {evaluated} AS records_evaluated, "
-        "{passing} AS records_passing, "
+        "SELECT 'r' AS rule_id, CAST({evaluated} AS BIGINT) AS records_evaluated, "
+        "CAST({passing} AS BIGINT) AS records_passing, "
         "CASE WHEN {evaluated} > 0 THEN ROUND(CAST({passing} AS DOUBLE) / {evaluated}, 6) END AS pass_rate "
         "FROM {table}"
     )
@@ -482,47 +485,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COUNT(DISTINCT event_id) AS DOUBLE)/COUNT(event_id), 6) FROM events
             UNION ALL
             SELECT 'accurate', COUNT(event_type),
-                   SUM(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT),
                    ROUND(CAST(SUM(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(event_type), 6) FROM events
             UNION ALL
             SELECT 'range', COUNT(value),
-                   SUM(CASE WHEN value BETWEEN 0 AND 250 THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN value BETWEEN 0 AND 250 THEN 1 ELSE 0 END) AS BIGINT),
                    ROUND(CAST(SUM(CASE WHEN value BETWEEN 0 AND 250 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(value), 6) FROM events
             UNION ALL
-            SELECT 'consistent', SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END),
-                   SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END),
+            SELECT 'consistent', CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT),
                    ROUND(CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS DOUBLE)/SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END), 6) FROM events
             UNION ALL
             SELECT 'timely', COUNT(ts),
-                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS BIGINT),
                    ROUND(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(ts), 6) FROM events
         """,
         "text_stats_by_lang": """
-            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    ROUND(AVG(n_chars), 4) AS avg_chars, MAX(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "token_counts": r"""
-            SELECT SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                            ELSE LEN(string_split_regex(TRIM(text), '\s+')) END) AS total_tokens,
-                   SUM(LENGTH(text)) AS total_chars,
+            SELECT CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LEN(string_split_regex(TRIM(text), '\s+')) END) AS BIGINT) AS total_tokens,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
                    COUNT(*) AS n_docs
             FROM documents
         """,
         "doc_quality_flags": r"""
-            SELECT SUM(CASE WHEN LENGTH(text) > 0 AND
+            SELECT CAST(SUM(CASE WHEN LENGTH(text) > 0 AND
                         CAST(LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)/LENGTH(text) >= 0.5
-                        THEN 1 ELSE 0 END) AS n_alpha_ok,
-                   SUM(CASE WHEN LENGTH(text) > 0 AND
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
+                   CAST(SUM(CASE WHEN LENGTH(text) > 0 AND
                         CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)/LENGTH(text) > 0.2
-                        THEN 1 ELSE 0 END) AS n_digit_heavy,
-                   SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END) AS n_long
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_digit_heavy,
+                   CAST(SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
             FROM documents
         """,
         "dedup_exact": r"""
             SELECT COUNT(*) AS n_distinct_texts,
-                   COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS n_dup_rows,
-                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+                   CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS n_dup_rows,
+                   CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
             FROM (
                 SELECT regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS norm_text,
                        COUNT(*) AS n

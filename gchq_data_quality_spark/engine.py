@@ -228,7 +228,10 @@ def annotate(
                     "deterministic first-occurrence mask"
                 )
             passing = rule.row_passing_column(resolver, dtype_of, order_by)
-            evaluated = F.col(rule.field).isNotNull()
+            # evaluated must come from the same *prepared* column the passing
+            # mask uses (na_values sentinels -> NULL), or sentinel rows count
+            # as evaluated-but-failing here while the metric path skips them.
+            evaluated = rule.compile(resolver, dtype_of).evaluated
             col = passing | ~evaluated
         else:
             cr = rule.compile(resolver, dtype_of)

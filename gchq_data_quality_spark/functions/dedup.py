@@ -81,21 +81,69 @@ def _shingles(col: Column, k: int = 5) -> Column:
     ).otherwise(F.array(norm))
 
 
-def _minhash_signature(shingle_col: Column, n_hashes: int) -> Column:
-    """array<long> of length n_hashes: min over shingles of xxhash64(s, seed).
+def _hashed_shingles(col: Column, k: int = 5) -> Column:
+    """array<long>: ONE xxhash64 per shingle. All downstream minhash families
+    are derived from this single hash with integer multiply-adds — hashing the
+    shingle string once instead of once per family (32 string hashes -> 1
+    string hash + 32 two-op affine mixes; measured ~15x on the full fold)."""
+    return F.transform(_shingles(col, k), lambda s: F.xxhash64(s))
 
-    ONE traversal of the shingle array: ``aggregate`` folds a running-minimum
-    accumulator of n_hashes values, hashing each shingle under every family
-    seed while the (expensive, O(position) substring) shingle expression is
-    evaluated exactly once per element. The naive per-family ``transform``
-    formulation re-inlines — and re-computes — the whole shingle array into
-    every family expression (Catalyst does no CSE across array higher-order
-    functions), which measured 25x slower at 32 families.
+
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public splitmix64 constants) used to derive
+    the per-family affine coefficients — no RNG state, same families every
+    run on every executor."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> 31)
+
+
+def _signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _family_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """(a_i odd, b_i) multiply-shift universal-hash family coefficients."""
+    return [
+        (_signed64(_splitmix64(2 * i + 1) | 1), _signed64(_splitmix64(2 * i + 2)))
+        for i in range(n_hashes)
+    ]
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ONLY under-partitioned inputs up to the session's default
+    parallelism. Small files read as a handful of partitions, which would run
+    the (CPU-bound) signature folds on a handful of cores; a 100 TB table
+    already arrives with thousands of scan partitions and is left untouched.
     """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _minhash_signature(shingle_col: Column, n_hashes: int) -> Column:
+    """array<long> of length n_hashes: min over shingles of affine families
+    of one base xxhash64 (h_i = a_i*h + b_i, wrapping two's-complement
+    multiply — the standard universal-hashing minhash construction).
+
+    ONE traversal of the hashed-shingle array: ``aggregate`` folds a
+    running-minimum accumulator of n_hashes values. ``shingle_col`` must be
+    the *hashed* shingles (``_hashed_shingles``) so each family derivation is
+    two integer ops on the evaluated lambda variable — the naive per-family
+    ``transform`` formulation re-inlines (and re-computes) the whole shingle
+    array into every family expression (Catalyst does no CSE across array
+    higher-order functions), which measured 25x slower at 32 families.
+    """
+    coeffs = _family_coeffs(n_hashes)
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), n_hashes)
 
-    def step(acc: Column, s: Column) -> Column:
-        hashes = F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)])
+    def step(acc: Column, h: Column) -> Column:
+        hashes = F.array(*[h * F.lit(a) + F.lit(b) for a, b in coeffs])
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
     return F.aggregate(shingle_col, init, step)
@@ -106,8 +154,50 @@ def minhash_signatures(
 ) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
-        _minhash_signature(_shingles(F.col(text_col), k), n_hashes).alias("sig"),
+        _minhash_signature(_hashed_shingles(F.col(text_col), k), n_hashes).alias("sig"),
     )
+
+
+def _minhash_band_buckets(
+    shingle_col: Column, n_hashes: int, bands: int
+) -> Column:
+    """array<struct<band:int,bucket:long>> computed INSIDE the signature fold,
+    over *hashed* shingles (see ``_hashed_shingles``).
+
+    The band-bucket hashes are derived in the ``finish`` lambda of the same
+    single ``aggregate`` that builds the minhash signature, so the signature
+    expression is evaluated exactly once per row. Projecting ``sig[i]`` from a
+    separate signature column re-inlines the whole fold once per referenced
+    element (Catalyst does no CSE across higher-order functions) — measured
+    18x slower at 8 bands x 4 rows.
+    """
+    rows_per_band = n_hashes // bands
+    coeffs = _family_coeffs(n_hashes)
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), n_hashes)
+
+    def step(acc: Column, h: Column) -> Column:
+        hashes = F.array(*[h * F.lit(a) + F.lit(b) for a, b in coeffs])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    def finish(acc: Column) -> Column:
+        # acc is the materialised signature array here — element access is
+        # O(1) on the evaluated value, no recompute.
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            "_",
+                            *[acc[b * rows_per_band + r] for r in range(rows_per_band)],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    return F.aggregate(shingle_col, init, step, finish)
 
 
 def minhash_candidate_pairs(
@@ -127,28 +217,10 @@ def minhash_candidate_pairs(
     collide and the candidate set explodes quadratically. The per-bucket cap
     (max_bucket) additionally bounds blowup on boilerplate-heavy buckets.
     """
-    rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
-    banded = sigs.select(
-        "id",
+    banded = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+            _minhash_band_buckets(_hashed_shingles(F.col(text_col), k), n_hashes, bands)
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
@@ -180,7 +252,7 @@ def ngram_jaccard_pairs(
     set (not n^2) pays the exact-similarity cost.
     """
     candidates = minhash_candidate_pairs(df, text_col, id_col, k=k, **lsh_kwargs)
-    shingled = df.select(
+    shingled = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), k).alias("sh")
     )
     a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -211,61 +283,130 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_column(col: Column, k: int = 3) -> Column:
-    """64-bit simhash over character k-gram hashes, all native exprs.
-
-    For each bit b: sum over shingles of sign(bit_b(hash)) > 0 -> bit set.
-    Built with array higher-order functions: per-bit popcount comparison.
+def _simhash_fold(col: Column, k: int, finish) -> Column:
+    """ONE ``aggregate`` traversal of the shingle hashes folding a struct of
+    (64-wide bit-count array, element count); ``finish(acc)`` shapes the
+    output from the final counts. The per-bit-aggregate formulation
+    re-evaluates the shingle-hash array 64 times (no CSE across higher-order
+    functions) — measured 97 s for 500 docs vs ~1 s for this single fold.
     """
     shingle_hashes = F.transform(_shingles(col, k), lambda s: F.xxhash64(s))
-    n = F.size(shingle_hashes)
+    init = F.struct(
+        F.array_repeat(F.lit(0), 64).alias("c"), F.lit(0).alias("n")
+    )
 
-    def _bit_popcount(b: int):
-        return F.aggregate(
-            shingle_hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+    def step(acc: Column, h: Column) -> Column:
+        # h is the lambda variable (an evaluated long) — extracting its 64
+        # bits is 64 cheap integer ops, not 64 re-traversals.
+        bits = F.array(
+            *[
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int")
+                for b in range(64)
+            ]
+        )
+        return F.struct(
+            F.zip_with(acc["c"], bits, lambda a, x: a + x).alias("c"),
+            (acc["n"] + F.lit(1)).alias("n"),
         )
 
-    bits = [
-        F.when(_bit_popcount(b) * 2 > n, F.lit(1).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
+    return F.aggregate(shingle_hashes, init, step, finish)
+
+
+def _assemble_simhash(acc: Column) -> Column:
+    """64-bit fingerprint from the final (counts, n) accumulator: bit b set
+    iff more than half the shingle hashes have bit b set. ``acc`` is the
+    materialised fold result — the 64 element reads are O(1), no recompute."""
     out = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
+    for b in range(64):
+        bit = (
+            F.when(acc["c"][b] * 2 > acc["n"], F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
         out = out.bitwiseOR(F.shiftleft(bit, b))
     return out
+
+
+def simhash_column(col: Column, k: int = 3) -> Column:
+    """64-bit simhash over character k-gram hashes, all native exprs."""
+    return _simhash_fold(col, k, _assemble_simhash)
 
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
-) -> DataFrame:
-    """Near-dup pairs by simhash: bucket on 4 rotated prefixes, verify
-    hamming distance within buckets (standard simhash permutation trick)."""
-    sims = df.select(
-        F.col(id_col).alias("id"), simhash_column(F.col(text_col)).alias("sim")
-    )
-    buckets = []
-    for rot in range(4):
-        rotated = F.shiftleft(F.col("sim"), rot * 16).bitwiseOR(
-            F.shiftright(F.col("sim"), 64 - rot * 16) if rot else F.lit(0)
+def simhash_rotations(sim: Column, n_rot: int = 4, prefix_bits: int = 16) -> Column:
+    """array<struct<rot:int,bucket:long,sim:long>>: bucket = top prefix_bits
+    of each left-rotation of the 64-bit simhash (standard permutation trick).
+    ``sim`` rides along in every struct so callers can explode this single
+    expression without re-referencing (= re-computing) the fingerprint.
+
+    Both the rotation wrap and the prefix extraction use *unsigned* right
+    shifts: arithmetic ``shiftright`` sign-extends, so every negative simhash
+    (~half the corpus) would fill the high bits with 1s — collapsing all
+    negative-hash docs into one bucket per rotation and missing pairs whose
+    simhashes differ in the sign bit.
+    """
+    entries = []
+    for rot in range(n_rot):
+        shift = rot * (64 // n_rot)
+        rotated = (
+            F.shiftleft(sim, shift).bitwiseOR(F.shiftrightunsigned(sim, 64 - shift))
+            if shift
+            else sim
         )
-        buckets.append(
-            sims.select(
-                "id", "sim", F.lit(rot).alias("rot"),
-                F.shiftright(rotated, 64 - prefix_bits).alias("bucket"),
+        entries.append(
+            F.struct(
+                F.lit(rot).alias("rot"),
+                F.shiftrightunsigned(rotated, 64 - prefix_bits).alias("bucket"),
+                sim.alias("sim"),
             )
         )
-    all_buckets = buckets[0]
-    for extra in buckets[1:]:
-        all_buckets = all_buckets.unionByName(extra)
-    left = all_buckets.select("rot", "bucket", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
-    right = all_buckets.select("rot", "bucket", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    return F.array(*entries)
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by simhash: bucket on 4 rotated prefixes, verify
+    hamming distance within buckets (standard simhash permutation trick).
+
+    The rotation buckets are assembled in the ``finish`` lambda of the SAME
+    single fold that computes the simhash (rotations of the assembled
+    fingerprint are cheap integer ops on the materialised accumulator), so
+    each row pays exactly one shingle traversal regardless of rotation count.
+
+    Hot buckets (boilerplate-heavy corpora) are capped at ``max_bucket``
+    members per (rot, bucket) before the self-join, bounding the worst-case
+    join fan-out the same way minhash_candidate_pairs does.
+    """
+    rot_buckets = _simhash_fold(
+        F.col(text_col),
+        3,
+        lambda acc: simhash_rotations(_assemble_simhash(acc), 4, prefix_bits),
+    )
+    all_buckets = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.explode(rot_buckets).alias("rb"))
+        .select(
+            "id",
+            F.col("rb.sim").alias("sim"),
+            F.col("rb.rot").alias("rot"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+    )
+    w = Window.partitionBy("rot", "bucket").orderBy("id")
+    capped = all_buckets.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_bucket
+    )
+    left = capped.select("rot", "bucket", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    right = capped.select("rot", "bucket", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
     return (
         left.join(right, ["rot", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

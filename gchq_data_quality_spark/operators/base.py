@@ -133,3 +133,39 @@ class BaseRule(DataQualityBaseModel, ABC):
             passing=self._passing(prepared),
             prepared=prepared,
         )
+
+    # ------------------------------------------------------------------
+    def evaluate(self, data_source, row_id_col: str | None = None):
+        """Evaluate this single rule against a data source — the reference's
+        primary user entry point (rules/base.py:120-162). Accepts a Spark
+        DataFrame or a pandas DataFrame (converted through the active
+        SparkSession, same as config execution); returns a DataQualityResult.
+
+        The whole-config path (``evaluate_rules`` / ``DataQualityConfig``)
+        stays the scale-preferred API: it runs every rule's metrics in ONE
+        aggregation job, while this runs one job for one rule.
+        """
+        import pandas as pd
+
+        from gchq_data_quality_spark.engine import evaluate_rules
+
+        df = data_source
+        if isinstance(df, pd.DataFrame):
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "rule.evaluate(pandas_df) needs an active SparkSession"
+                )
+            df = spark.createDataFrame(data_source)
+        from pyspark.sql import DataFrame as SparkDataFrame
+
+        if not isinstance(df, SparkDataFrame):
+            raise ValueError(
+                "You must pass in a pandas or Spark DataFrame "
+                f"(got {type(data_source).__name__}); Elasticsearch sources are "
+                "not implemented (the reference declares the same, "
+                "rules/base.py:155-160)."
+            )
+        return evaluate_rules(df, [self], row_id_col=row_id_col)[0]

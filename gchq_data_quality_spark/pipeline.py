@@ -200,11 +200,15 @@ class QualityFilterPipeline:
         return out
 
     # ------------------------------------------------------------------
-    def audit(self, annotated: DataFrame) -> DataQualityReport:
-        """One aggregation over the flag columns -> per-rule results."""
-        rules = self.rules()
+    def audit_agg_exprs(self) -> list:
+        """The flag-only aggregation exprs (one pass, map-side combinable).
+
+        Counts are plain sums, so callers running in batches (e.g. the
+        checkpointed job) can aggregate each batch's flags and ADD the rows
+        together — see ``report_from_counts``.
+        """
         aggs = []
-        for rule in rules:
+        for rule in self.rules():
             rid = rule.rule_id
             aggs.append(F.sum(F.col(f"dq_{rid}_evaluated").cast("long")).alias(f"e_{rid}"))
             aggs.append(
@@ -214,12 +218,15 @@ class QualityFilterPipeline:
             )
         aggs.append(F.sum(F.col("keep").cast("long")).alias("__kept"))
         aggs.append(F.count(F.lit(1)).alias("__total"))
-        row = annotated.agg(*aggs).collect()[0]
+        return aggs
 
+    def report_from_counts(self, counts) -> DataQualityReport:
+        """Build the per-rule report from an e_/p_/__kept/__total mapping
+        (one agg Row, or summed counts across checkpointed batches)."""
         results = []
-        for rule in rules:
-            evaluated = int(row[f"e_{rule.rule_id}"] or 0)
-            passing = int(row[f"p_{rule.rule_id}"] or 0)
+        for rule in self.rules():
+            evaluated = int(counts[f"e_{rule.rule_id}"] or 0)
+            passing = int(counts[f"p_{rule.rule_id}"] or 0)
             results.append(
                 DataQualityResult(
                     field=rule.field,
@@ -229,15 +236,24 @@ class QualityFilterPipeline:
                     rule_id=rule.rule_id,
                     rule_data=rule.to_json(),
                     dataset_name="images",
-                    measurement_sample=f"kept={int(row['__kept'] or 0)}/total={int(row['__total'] or 0)}",
+                    measurement_sample=(
+                        f"kept={int(counts['__kept'] or 0)}/total={int(counts['__total'] or 0)}"
+                    ),
                 )
             )
         return DataQualityReport(results=results)
 
-    def audit_df(self, annotated: DataFrame) -> DataFrame:
-        """Audit report as a Spark DataFrame (for writing to an audit table)."""
-        report = self.audit(annotated)
-        spark = annotated.sparkSession
+    def audit(self, annotated: DataFrame) -> DataQualityReport:
+        """One aggregation over the flag columns -> per-rule results.
+
+        ``annotated`` can be the lazy annotate() output OR a re-read of the
+        written output (the flags are plain columns) — the latter is the
+        cheap path: a column-pruned boolean scan, no UDF re-execution.
+        """
+        row = annotated.agg(*self.audit_agg_exprs()).collect()[0]
+        return self.report_from_counts(row)
+
+    def report_to_df(self, spark, report: DataQualityReport) -> DataFrame:
         rows = [
             {
                 "rule_id": r.rule_id,
@@ -253,6 +269,25 @@ class QualityFilterPipeline:
         ]
         return spark.createDataFrame(rows)
 
-    def run(self, df: DataFrame) -> tuple[DataFrame, DataQualityReport]:
+    def audit_df(self, annotated: DataFrame) -> DataFrame:
+        """Audit report as a Spark DataFrame (for writing to an audit table)."""
+        return self.report_to_df(annotated.sparkSession, self.audit(annotated))
+
+    def run(
+        self, df: DataFrame, output_path: str | None = None
+    ) -> tuple[DataFrame, DataQualityReport]:
+        """Annotate and audit WITHOUT running the scoring UDFs twice.
+
+        With ``output_path``: write the annotated frame once, then audit the
+        *written* flag columns (column-pruned boolean scan — the pattern
+        jobs/quality_filter_job.py uses); returns the re-read output.
+        Without: persist the annotated frame so the audit materialises it and
+        the returned DataFrame serves reads from the cache (caller unpersists).
+        """
         annotated = self.annotate(df)
+        if output_path is not None:
+            annotated.write.mode("overwrite").parquet(output_path)
+            written = df.sparkSession.read.parquet(output_path)
+            return written, self.audit(written)
+        annotated = annotated.persist()
         return annotated, self.audit(annotated)

@@ -62,6 +62,23 @@ def extract_columns_from_expression(expression: str) -> list[str]:
     return list(columns)
 
 
+def spark_safe_expression(expression: str | dict) -> str | dict:
+    """Rewrite every backticked nested path to its flat spark-safe name
+    (parity: reference get_spark_safe_expression, spark/utils/rules_utils.py,
+    golden cases tests/data/consistency_expressions.yaml — ``a[*].b`` ->
+    ``a_all_b``, ``a[].b`` -> ``a_first_b``, dots -> underscores).
+
+    The engine itself resolves nested paths through the flatten mapping
+    (engine.py resolver closure) and never needs the textual rewrite; this is
+    API parity for callers that pre-flatten their own frames.
+    """
+    from gchq_data_quality_spark.plans.flatten import safe_name
+
+    if isinstance(expression, dict):
+        return {key: spark_safe_expression(value) for key, value in expression.items()}
+    return _BACKTICK_RE.sub(lambda m: f"`{safe_name(m.group(1))}`", expression)
+
+
 _DT_ACCESSORS = {
     "year": F.year,
     "month": F.month,
@@ -70,7 +87,9 @@ _DT_ACCESSORS = {
     "minute": F.minute,
     "second": F.second,
     "date": lambda c: c.cast("date"),
-    "dayofweek": lambda c: F.dayofweek(c) - F.lit(2),  # pandas: Monday=0
+    # pandas dt.dayofweek: Monday=0..Sunday=6. F.weekday matches exactly;
+    # F.dayofweek(c)-2 would map Sunday (Spark 1) to -1, not 6.
+    "dayofweek": F.weekday,
     "dayofyear": F.dayofyear,
     "quarter": F.quarter,
 }

@@ -12,6 +12,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def engine_conf() -> dict[str, str]:
+    """The engine's REQUIRED semantic configs — every session (local factory
+    below, spark-submit jobs, notebooks) must apply these.
+
+    - UTC session timezone: the reference's datetime semantics assume it
+      (tests/spark/conftest.py:174).
+    - Non-ANSI: a data-quality engine must keep evaluating in the presence of
+      bad data — classic semantics turn overflow / bad casts / div-by-zero
+      into NULLs the rule algebra counts as failures or skips, instead of
+      aborting a 10^12-row job on one malformed row (ANSI is the default on
+      Spark 4.x clusters, so this must be set explicitly).
+    - Arrow on, with modest batches: pandas-UDF workers reuse their malloc
+      arena between batches instead of mmap-ing fresh pages per batch.
+      Measured on this host: 2048-row batches are ~3x faster than 10k AND
+      restore near-linear 2->8 core scaling (page faults, not CPU, are the
+      contended resource).
+    - AQE + skew-join: runtime re-plan / skew splitting at cluster scale.
+    """
+    return {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    }
+
+
 def get_spark(
     cores: int | None = None,
     app_name: str = "gchq_data_quality_spark",
@@ -23,28 +52,14 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        .config("spark.sql.session.timeZone", "UTC")
-        # A data-quality engine must keep evaluating in the presence of bad
-        # data: classic (non-ANSI) semantics turn overflow / bad casts /
-        # div-by-zero into NULLs that the rule algebra counts as failures or
-        # skips, instead of aborting a 10^12-row job on one malformed row.
-        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Modest Arrow batches: pandas-UDF workers then reuse their malloc
-        # arena between batches instead of mmap-ing fresh pages per batch.
-        # Measured on this host: 2048-row batches are ~3x faster than 10k
-        # AND restore near-linear 2->8 core scaling (page faults are the
-        # contended resource, not CPU).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
+    for key, value in engine_conf().items():
+        builder = builder.config(key, value)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

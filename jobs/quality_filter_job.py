@@ -71,14 +71,16 @@ def main(argv: list[str] | None = None) -> None:
     from gchq_data_quality_spark.pipeline import QualityFilterConfig, QualityFilterPipeline
     from gchq_data_quality_spark.sources.checkpoint import run_checkpointed
     from gchq_data_quality_spark.sources.io import read_table, write_table
+    from gchq_data_quality_spark.sources.session import engine_conf
 
-    spark = (
-        SparkSession.builder.appName("quality_filter_job")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .getOrCreate()
-    )
+    # The engine's semantic invariants (UTC, non-ANSI, Arrow batching) must
+    # hold on ANY cluster this job is submitted to — Spark 4.x defaults to
+    # ANSI, where one malformed row would abort the job instead of being
+    # counted/skipped by the rule algebra.
+    builder = SparkSession.builder.appName("quality_filter_job")
+    for key, value in engine_conf().items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synthetic:
@@ -110,9 +112,23 @@ def main(argv: list[str] | None = None) -> None:
     )
     pipe = QualityFilterPipeline(config, langid_model, ppl_model)
 
+    # --keep-only drops failing rows from the output, so the audit CANNOT be
+    # computed from the written files (pass_rate would read ~1.0 and measure
+    # nothing). Instead each batch's pre-filter flags are aggregated before
+    # the keep filter and the plain-sum counts accumulate across batches; the
+    # batch is persisted so annotate's scoring UDFs still run exactly once
+    # (the agg materialises the cache, the write reads from it).
+    prefilter_counts: dict[str, int] = {}
+    caches: list = []
+
     def transform(part):
         out = pipe.annotate(part)
         if args.keep_only:
+            out = out.persist()
+            caches.append(out)
+            row = out.agg(*pipe.audit_agg_exprs()).collect()[0]
+            for key, value in row.asDict().items():
+                prefilter_counts[key] = prefilter_counts.get(key, 0) + int(value or 0)
             out = out.filter("keep")
         return out
 
@@ -128,9 +144,19 @@ def main(argv: list[str] | None = None) -> None:
         resume=args.resume,
     )
     elapsed = time.time() - t0
+    for cached in caches:
+        cached.unpersist(blocking=False)
 
-    audit_df = pipe.audit_df(spark.read.parquet(args.output))
-    write_table(audit_df, args.audit, mode="overwrite")
+    if args.keep_only:
+        if prefilter_counts:
+            report = pipe.report_from_counts(prefilter_counts)
+            audit_df = pipe.report_to_df(spark, report)
+        else:  # fully-resumed run: nothing re-processed, keep the old audit
+            audit_df = None
+    else:
+        audit_df = pipe.audit_df(spark.read.parquet(args.output))
+    if audit_df is not None:
+        write_table(audit_df, args.audit, mode="overwrite")
 
     print(json.dumps({**summary, "elapsed_sec": round(elapsed, 2),
                       "rows_per_sec": round(summary["rows_written"] / max(elapsed, 1e-9), 1)}))

