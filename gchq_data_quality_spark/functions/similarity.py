@@ -85,6 +85,19 @@ def build_ivf_index(
     return indexed, centroids
 
 
+def write_ivf_index(indexed: DataFrame, path: str) -> DataFrame:
+    """Persist the indexed table PARTITIONED BY cell and return the re-read.
+
+    This is what makes IVF pruning real at scale: probes carry an explicit
+    ``cell IN (...)`` predicate (see ivf_topk), which Catalyst turns into
+    PartitionFilters on a cell-partitioned layout — the scan reads only the
+    n_probe cell directories, not the whole table. Without the partitioned
+    layout the same query is a full scan + filter.
+    """
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return indexed.sparkSession.read.parquet(path)
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: DataFrame,
@@ -95,7 +108,14 @@ def ivf_topk(
     k: int = 10,
     n_probe: int = 4,
 ) -> DataFrame:
-    """ANN top-k probing only the n_probe nearest cells per query."""
+    """ANN top-k probing only the n_probe nearest cells per query.
+
+    The union of probed cells is pushed as an explicit ``cell IN (...)``
+    filter BEFORE the probe join: on an index written with
+    ``write_ivf_index`` (parquet partitioned by cell) this becomes a
+    partition-pruned scan reading only the probed cell directories
+    (asserted in tests/test_plan_quality.py).
+    """
     cents = centroids.collect()
     q_rows = queries.collect()
     probe_pairs = []
@@ -113,7 +133,10 @@ def ivf_topk(
     probes = spark.createDataFrame(
         probe_pairs, f"{query_id_col} long, cell long, __qvec array<float>"
     )
-    joined = indexed.join(F.broadcast(probes), "cell")
+    probed_cells = sorted({cell for _, cell, _ in probe_pairs})
+    joined = indexed.filter(F.col("cell").isin(probed_cells)).join(
+        F.broadcast(probes), "cell"
+    )
     scored = joined.select(
         query_id_col,
         id_col,

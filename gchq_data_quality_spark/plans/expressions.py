@@ -48,10 +48,15 @@ def extract_backticked_fields(expression: str) -> list[str]:
     return _BACKTICK_RE.findall(expression)
 
 
-def extract_columns_from_expression(expression: str) -> list[str]:
+def extract_columns_from_expression(
+    expression: str, df_columns: list[str] | None = None
+) -> list[str]:
     """Unique backticked column names in an expression.
 
-    Raises if none are present (parity: rules/utils/rules_utils.py:163-189).
+    Raises if none are present, or (when ``df_columns`` is given) if any
+    extracted column is missing from it
+    (parity: rules/utils/rules_utils.py:163-189, corpus
+    tests/data/extract_columns_from_expression.yaml).
     """
     columns = set(extract_backticked_fields(expression))
     if not columns:
@@ -59,7 +64,14 @@ def extract_columns_from_expression(expression: str) -> list[str]:
             f"No columns found in expression: {expression!r} - are you using "
             "backticks (`) around your column names?"
         )
-    return list(columns)
+    if df_columns is not None:
+        missing = sorted(columns - set(df_columns))
+        if missing:
+            raise ValueError(
+                f"Column(s) {missing} from expression {expression!r} not found "
+                f"in DataFrame columns: {df_columns}"
+            )
+    return sorted(columns)
 
 
 def spark_safe_expression(expression: str | dict) -> str | dict:

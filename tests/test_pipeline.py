@@ -175,3 +175,46 @@ def test_checkpoint_resume(spark, tmp_path, models):
     )
     assert third["buckets_run"] == 2
     assert spark.read.parquet(out_path).count() == 400
+
+
+def test_run_with_output_path_scores_once(spark, tmp_path, models):
+    """pipeline.run(df, output_path=...) must write once and audit the
+    WRITTEN flags: the audit side is a plain parquet scan with no Python
+    (Arrow UDF) stage, so the scoring UDFs execute exactly once."""
+    langid_model, ppl_model = models
+    df = generate_images_df(spark, 120)
+    pipe = QualityFilterPipeline(
+        QualityFilterConfig(allowed_langs=LANGUAGES), langid_model, ppl_model
+    )
+    out_path = str(tmp_path / "run_out")
+    written, report = pipe.run(df, output_path=out_path)
+    assert written.count() == 120
+    assert {r.rule_id for r in report.results} >= {"caption_present", "lang_allowed"}
+
+    # the audit input (re-read output) contains no scoring stage
+    audit_plan = (
+        written.agg(*pipe.audit_agg_exprs())._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in audit_plan
+    assert "BatchEvalPython" not in audit_plan
+    assert "Scan parquet" in audit_plan or "FileScan parquet" in audit_plan
+
+
+def test_run_without_output_persists_annotated(spark, models):
+    """Without an output path, run() persists the annotated frame so the
+    audit materialises the cache and later reads reuse it (no double score)."""
+    langid_model, ppl_model = models
+    df = generate_images_df(spark, 60)
+    pipe = QualityFilterPipeline(
+        QualityFilterConfig(allowed_langs=LANGUAGES), langid_model, ppl_model
+    )
+    annotated, report = pipe.run(df)
+    try:
+        assert annotated.storageLevel.useMemory or annotated.storageLevel.useDisk
+        assert report.results
+        # cache already materialised by the audit -> InMemoryTableScan serves reads
+        plan = annotated._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        annotated.unpersist(blocking=False)

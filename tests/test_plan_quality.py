@@ -87,6 +87,45 @@ def test_pipeline_single_stage_until_agg(spark):
     assert "Exchange" not in _plan(annotated)
 
 
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """An index written partitioned-by-cell + the probe's explicit
+    ``cell IN (...)`` filter must turn probing into a partition-pruned scan:
+    the probe query reads ONLY the probed cells' files."""
+    import numpy as np
+
+    from gchq_data_quality_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, centroids = build_ivf_index(df, n_cells=8)
+    stored = write_ivf_index(indexed, str(tmp_path / "ivf"))
+    n_cells_on_disk = stored.select("cell").distinct().count()
+
+    queries = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = ivf_topk(stored, centroids, queries, k=3, n_probe=2)
+
+    # the probe scan must carry PartitionFilters with the explicit cell IN
+    # predicate — on a partitionBy("cell") layout that is Catalyst's static
+    # partition pruning (only probed cell directories are listed and read)
+    assert n_cells_on_disk == 8
+    plan = _plan(topk)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters and ("IN (" in part_filters or "in(cell" in part_filters)
+
+    # correctness: results come only from probed cells and are ranked
+    got = topk.collect()
+    assert got and got[0].vec_id == 0
+    probed = {r["cell"] for r in topk.join(stored, "vec_id").select("cell").collect()}
+    assert len(probed) <= 2
+
+
 def test_lsh_joins_never_cartesian(spark):
     from gchq_data_quality_spark.functions.dedup import (
         minhash_candidate_pairs,

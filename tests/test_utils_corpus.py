@@ -283,3 +283,153 @@ def test_rule_evaluate_accepts_pandas(spark):
 def test_rule_evaluate_rejects_other_sources(spark):
     with pytest.raises(ValueError, match="pandas or Spark DataFrame"):
         CompletenessRule(field="x").evaluate({"not": "a dataframe"})
+
+
+# ---------------------------------------------------------------------------
+# flatten path-language utilities (parity: spark/dataframe_operations.py +
+# spark/utils/rules_utils.py corpora)
+# ---------------------------------------------------------------------------
+
+from gchq_data_quality_spark.plans.expressions import (  # noqa: E402
+    extract_columns_from_expression,
+)
+from gchq_data_quality_spark.plans.flatten import (  # noqa: E402
+    _array_prefixes,
+    _check_consistent_notation,
+    _resolve_ref,
+    split_notation,
+)
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("get_parent_column"),
+    ids=case_ids(load_cases("get_parent_column")),
+)
+def test_get_parent_column_case(case):
+    path = case["inputs"]["nested_col_name"]
+    assert split_notation(path.split(".")[0])[0] == case["expected"]["parent_column"]
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("extract_and_sort_array_paths"),
+    ids=case_ids(load_cases("extract_and_sort_array_paths")),
+)
+def test_extract_and_sort_array_paths_case(case):
+    got = _array_prefixes(case["inputs"]["flatten_cols"])
+    assert got == case["expected"]["array_paths"]
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("array_paths_are_valid"),
+    ids=case_ids(load_cases("array_paths_are_valid")),
+)
+def test_array_paths_are_valid_case(case):
+    prefixes = _array_prefixes(case["inputs"]["array_paths"])
+    if case["expected"]["is_valid"]:
+        _check_consistent_notation(prefixes)  # must not raise
+    else:
+        with pytest.raises(ValueError, match="Invalid mix"):
+            _check_consistent_notation(prefixes)
+
+
+def _final_path(path: str) -> str:
+    prefixes = set(_array_prefixes([path]))
+    if path in prefixes:
+        from gchq_data_quality_spark.plans.flatten import safe_name
+
+        return safe_name(path)
+    return _resolve_ref(path, prefixes)
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("final_paths_from_exploded_df"),
+    ids=case_ids(load_cases("final_paths_from_exploded_df")),
+)
+def test_final_paths_from_exploded_df_case(case):
+    got = [_final_path(p) for p in case["inputs"]["flatten_cols"]]
+    assert got == case["expected"]["final_paths"]
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("rename_array_paths"),
+    ids=case_ids(load_cases("rename_array_paths")),
+)
+def test_rename_array_paths_case(case):
+    """The reference renames deeper array paths after each explode; our
+    _resolve_ref computes the same reference for a path given the already
+    materialised (shallower) prefixes — equal up to the trailing notation
+    (the caller applies the explode itself)."""
+    from gchq_data_quality_spark.plans.flatten import safe_name as _sn
+
+    paths = case["inputs"]["array_paths"]
+    for i, (path, expected) in enumerate(
+        zip(paths, case["expected"]["renamed_paths"], strict=True)
+    ):
+        want = expected
+        for suffix in ("[*]", "[]"):
+            if want.endswith(suffix):
+                want = want[: -len(suffix)]
+        materialised = set(paths[:i])
+        # flatten() refers to an already-materialised path by its flat name
+        # directly (flatten.py final extraction); _resolve_ref covers the rest
+        got = _sn(path) if path in materialised else _resolve_ref(path, materialised)
+        assert got == want, path
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("extract_columns_from_expression"),
+    ids=case_ids(load_cases("extract_columns_from_expression")),
+)
+def test_extract_columns_from_expression_case(case):
+    inputs = case["inputs"]
+    if case["expected"].get("raises"):
+        with pytest.raises(ValueError):
+            extract_columns_from_expression(
+                inputs["expression"], inputs.get("df_columns")
+            )
+    else:
+        got = extract_columns_from_expression(
+            inputs["expression"], inputs.get("df_columns")
+        )
+        assert sorted(got) == sorted(case["expected"]["columns"])
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("pick_first_non_null_in_array"),
+    ids=case_ids(load_cases("pick_first_non_null_in_array")),
+)
+def test_pick_first_non_null_in_array_case(spark, case):
+    """The '[]' path notation = first non-null element (flatten.py emits
+    get(filter(arr, x -> x IS NOT NULL), 0))."""
+    inputs = case["inputs"]
+    data = inputs["df"]
+    arr_col = inputs["array_col_ref"]
+    fields, row = [], []
+    for name, values in data.items():
+        value = values[0]
+        if name == arr_col:
+            fields.append(T.StructField(name, T.ArrayType(T.LongType(), True), True))
+            row.append([None if v is None else int(v) for v in value])
+        elif isinstance(value, str):
+            fields.append(T.StructField(name, T.StringType(), True))
+            row.append(value)
+        else:
+            fields.append(T.StructField(name, T.LongType(), True))
+            row.append(value)
+    df = spark.createDataFrame([tuple(row)], T.StructType(fields))
+    out = df.select(
+        *inputs["keep_cols"],
+        F.expr(f"get(filter({arr_col}, x -> x IS NOT NULL), 0)").alias(
+            inputs["new_column_name"]
+        ),
+    )
+    got = out.collect()[0].asDict()
+    expected = {k: v[0] for k, v in case["expected"].items()}
+    assert got == expected
