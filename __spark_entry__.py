@@ -316,6 +316,85 @@ def _q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with window functions: a new session starts
+    after >30 min of user inactivity. Classic telemetry/analytics shape —
+    per-user windows partition cleanly at any scale (shuffle on user_id)."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+            ).cast("long"),
+        )
+        .withColumn("session_no", F.sum("new_session").over(w))
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_sec"
+        ),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.max("duration_sec").alias("max_duration_sec"),
+    )
+
+
+def _q_top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by revenue: broadcast dim join + window top-k."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    revenue = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.col("p_partkey"))
+    return (
+        revenue.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rank")
+        .orderBy("p_brand", "rank")
+    )
+
+
+def _q_daily_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day rule pass-rate trend (the audit-over-time shape a quality
+    dashboard reads): one groupBy on the event date, conditional sums."""
+    events = _read(spark, sf_dir, "events")
+    valid = F.col("event_type").isin(["click", "view", "purchase"])
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(valid.cast("long")).alias("n_valid_type"),
+            F.round(
+                F.sum(valid.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("valid_rate"),
+            F.sum((F.col("value") >= 0).cast("long")).alias("n_nonneg_value"),
+        )
+        .orderBy("day")
+    )
+
+
 # --- rows-only (no SQL oracle: model scoring / LSH / pipeline) -------------
 
 def _q_pipeline_keep_by_defect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "segment_revenue": _q_segment_revenue,
+        "events_sessionization": _q_events_sessionization,
+        "top_parts_by_brand": _q_top_parts_by_brand,
+        "daily_quality_trend": _q_daily_quality_trend,
         "pipeline_keep_by_defect": _q_pipeline_keep_by_defect,
         "langid_documents": _q_langid_documents,
         "minhash_candidates": _q_minhash_candidates,
@@ -566,6 +648,54 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "events_sessionization": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(CASE WHEN prev_ts IS NULL
+                                  OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+                FROM e
+            ), ps AS (
+                SELECT user_id, session_no, COUNT(*) AS n_events,
+                       CAST(epoch(MAX(ts)) AS BIGINT) - CAST(epoch(MIN(ts)) AS BIGINT) AS duration_sec
+                FROM s GROUP BY user_id, session_no
+            )
+            SELECT COUNT(*) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   ROUND(CAST(SUM(n_events) AS DOUBLE)/COUNT(*), 4) AS avg_events_per_session,
+                   CAST(MAX(duration_sec) AS BIGINT) AS max_duration_sec
+            FROM ps
+        """,
+        "top_parts_by_brand": """
+            WITH rev AS (
+                SELECT l_partkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                FROM lineitem GROUP BY l_partkey
+            ), ranked AS (
+                SELECT p_brand, p_partkey, revenue,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p_brand ORDER BY revenue DESC, p_partkey
+                       ) AS rank
+                FROM rev JOIN part ON l_partkey = p_partkey
+            )
+            SELECT p_brand, p_partkey, revenue, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY p_brand, rank
+        """,
+        "daily_quality_trend": """
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN event_type IN ('click','view','purchase')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_type,
+                   ROUND(CAST(SUM(CASE WHEN event_type IN ('click','view','purchase')
+                                       THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 6) AS valid_rate,
+                   CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg_value
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         # pipeline_keep_by_defect / langid_documents / minhash_candidates /
         # simhash_pairs: model-scoring and LSH ops — no SQL equivalent,

@@ -78,6 +78,29 @@ def test_query_matches_oracle(spark, duck, name):
     ), f"{name}: value mismatch"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle_arrow_types(spark, duck, name):
+    """The driver's value-hash is computed over the ARROW encoding, so equal
+    values in different physical types (DuckDB SUM(int) -> decimal128 vs
+    Spark int64) read as mismatches. Every oracle must produce the exact
+    arrow type Spark produces (VERDICT r1 What's-wrong #1)."""
+    import pyarrow as pa
+
+    sa = QUERIES[name](spark, SF_DIR).toArrow()
+    oa = duck.execute(ORACLE[name]).fetch_arrow_table()
+    stypes = {f.name.lower(): f.type for f in sa.schema}
+    otypes = {f.name.lower(): f.type for f in oa.schema}
+    assert set(stypes) == set(otypes), f"{name}: column sets differ"
+    for col, stype in stypes.items():
+        otype = otypes[col]
+        if pa.types.is_timestamp(stype) and pa.types.is_timestamp(otype):
+            # tz metadata differs (Spark session-tz vs DuckDB naive) but the
+            # physical int64 micros — what a value-hash sees — are identical
+            assert stype.unit == otype.unit, f"{name}.{col}: {stype} vs {otype}"
+            continue
+        assert stype == otype, f"{name}.{col}: spark {stype} vs oracle {otype}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)

@@ -59,3 +59,50 @@ def test_uniqueness_rejected_in_streaming(spark, tmp_path):
     stream = spark.readStream.schema("ts timestamp, id int").parquet(str(src))
     with pytest.raises(ValueError, match="global state"):
         streaming_audit(stream, [UniquenessRule(field="id")], "ts")
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """First occurrence of each normalised text survives; duplicates in the
+    SAME batch and in LATER batches are dropped (per-key state)."""
+    import os
+    import time
+
+    from gchq_data_quality_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    batch1 = [(0, "the quick brown fox"), (1, "unique text one"),
+              (2, "THE  quick   brown fox")]  # 2 normalises to dup of 0
+    batch2 = [(3, "the quick brown fox"),     # cross-batch dup of 0
+              (4, "unique text two")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)  # file source orders batches by modification time
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    now = time.time()
+    for i, d in enumerate(["b1", "b2"]):
+        for f in (src / d).iterdir():
+            os.utime(f, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    deduped = streaming_exact_dedup(stream, "text", "doc_id")
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {r.doc_id: r.text for r in spark.sql("select * from dedup_sink").collect()}
+    assert 0 in got          # first occurrence of the fox text
+    assert 2 not in got      # same-batch normalised duplicate
+    assert 3 not in got      # cross-batch duplicate (state remembered it)
+    assert 1 in got and 4 in got
+    assert len(got) == 3
