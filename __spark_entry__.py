@@ -326,22 +326,30 @@ def _q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds on BOTH sides (Spark unix_micros, DuckDB
+    # epoch_us): second-granularity functions truncate/round differently on
+    # sub-second timestamps and shift gap/duration results by one. The
+    # parquet ts is TIMESTAMP_NTZ; cast to TIMESTAMP is the identity under
+    # the engine's pinned UTC session.
+    def um(col):
+        return F.unix_micros(col.cast("timestamp"))
+
     sess = (
         events.withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
             "new_session",
             (
                 F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+                | (um(F.col("ts")) - um(F.col("prev_ts")) > 1800 * 1_000_000)
             ).cast("long"),
         )
         .withColumn("session_no", F.sum("new_session").over(w))
     )
     per_session = sess.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
-            "duration_sec"
-        ),
+        F.floor(
+            (um(F.max("ts")) - um(F.min("ts"))) / F.lit(1_000_000)
+        ).alias("duration_sec"),
     )
     return per_session.agg(
         F.count(F.lit(1)).alias("n_sessions"),
@@ -380,9 +388,11 @@ def _q_daily_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard reads): one groupBy on the event date, conditional sums."""
     events = _read(spark, sf_dir, "events")
     valid = F.col("event_type").isin(["click", "view", "purchase"])
+    # day as STRING: date32 round-trips differently through pandas (DuckDB
+    # fetch_df turns DATE into datetime64) — a string key is encoding-proof
     return (
         events.filter(F.col("ts").isNotNull())
-        .groupBy(F.to_date("ts").alias("day"))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(valid.cast("long")).alias("n_valid_type"),
@@ -445,6 +455,70 @@ def _q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT character-5-gram Jaccard pairs (>= 0.5) over a deterministic
+    10% document sample — the LSH verifier measured end-to-end against a
+    pure-SQL oracle (explode shingles -> self-join -> |A∩B| / |A∪B|).
+    The plan is the scale-honest exact-join formulation: one explode, one
+    equi-join on the shingle, one pair aggregation."""
+    from gchq_data_quality_spark.functions.dedup import _shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    norm_sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), 5)).alias("sh")
+    )
+    sizes = norm_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = norm_sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = norm_sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched WAV decode + feature extraction over a deterministic synthetic
+    audio table (mirrors the image pipeline's multimodal plumbing; decode is
+    not SQL-expressible -> rows-only check)."""
+    from gchq_data_quality_spark.functions.audio import (
+        synth_wav_bytes,
+        with_audio_features,
+    )
+
+    rows = []
+    for i in range(120):
+        if i % 10 == 7:
+            payload = b"corrupt" + bytes([i % 256]) * 20  # undecodable
+        else:
+            payload = synth_wav_bytes(
+                freq_hz=220.0 + 20 * (i % 8),
+                seconds=0.1 + 0.01 * (i % 5),
+                sample_rate=8000 if i % 2 else 16000,
+            )
+        rows.append((i, payload, "wav"))
+    df = spark.createDataFrame(rows, "audio_id long, bytes binary, fmt string")
+    feats = with_audio_features(df)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("decode_error").isNull().cast("long")).alias("n_decoded"),
+        F.round(F.sum("duration_sec"), 4).alias("total_duration_sec"),
+        F.round(F.avg("zero_crossing_rate"), 4).alias("avg_zcr"),
+        F.max("decoded_sample_rate").alias("max_sr"),
+    )
+
+
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gchq_data_quality_spark.functions.dedup import minhash_candidate_pairs
 
@@ -485,8 +559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": _q_events_sessionization,
         "top_parts_by_brand": _q_top_parts_by_brand,
         "daily_quality_trend": _q_daily_quality_trend,
+        "jaccard_exact_pairs": _q_jaccard_exact_pairs,
         "pipeline_keep_by_defect": _q_pipeline_keep_by_defect,
         "langid_documents": _q_langid_documents,
+        "audio_features": _q_audio_features,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
     }
@@ -657,13 +733,13 @@ def oracle_sql() -> dict[str, str]:
             ), s AS (
                 SELECT user_id, ts,
                        SUM(CASE WHEN prev_ts IS NULL
-                                  OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800
+                                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                                 THEN 1 ELSE 0 END)
                          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
                 FROM e
             ), ps AS (
                 SELECT user_id, session_no, COUNT(*) AS n_events,
-                       CAST(epoch(MAX(ts)) AS BIGINT) - CAST(epoch(MIN(ts)) AS BIGINT) AS duration_sec
+                       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
                 FROM s GROUP BY user_id, session_no
             )
             SELECT COUNT(*) AS n_sessions,
@@ -687,8 +763,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, p_partkey, revenue, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3 ORDER BY p_brand, rank
         """,
+        "jaccard_exact_pairs": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_replace(LOWER(text), '\s+', ' ', 'g') AS norm
+                FROM documents WHERE doc_id % 10 = 0
+            ), pos AS (
+                SELECT doc_id, norm,
+                       UNNEST(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+                FROM d
+            ), sh AS (
+                SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS sh
+                FROM pos
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+            ORDER BY id_a, id_b
+        """,
         "daily_quality_trend": """
-            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+            SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
                    CAST(SUM(CASE WHEN event_type IN ('click','view','purchase')
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_type,
                    ROUND(CAST(SUM(CASE WHEN event_type IN ('click','view','purchase')
@@ -698,6 +800,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         # pipeline_keep_by_defect / langid_documents / minhash_candidates /
-        # simhash_pairs: model-scoring and LSH ops — no SQL equivalent,
-        # rows-only check.
+        # simhash_pairs / audio_features: model-scoring, LSH, and binary
+        # decode ops — no SQL equivalent, rows-only check.
     }

@@ -247,10 +247,23 @@ def scaling_child(cores: int, images_path: str, mode: str = "pipeline") -> None:
 
 
 def _run_child(cores: int, images_path: str, mode: str) -> float:
-    proc = subprocess.run(
-        [sys.executable, __file__, "--scaling-run", str(cores), images_path, mode],
-        capture_output=True, text=True, timeout=3600,
-    )
+    """One scaling child, CPU-pinned to exactly ``cores`` logical CPUs.
+
+    ``local[N]`` only caps Spark TASK slots — the JVM still sizes GC/JIT
+    threads to all 32 host vCPUs and Python workers schedule anywhere, so an
+    unpinned 2-core run borrows unbounded parallelism from the other 30 CPUs
+    and the measured N->4N efficiency is meaningless (the low-core baseline
+    is inflated). ``taskset`` bounds the whole child process tree (JVM, GC,
+    Python workers) to an N-CPU budget — the faithful sandbox proxy for an
+    N-core executor; JDK>=10 availableProcessors honors the affinity mask, so
+    GC/JIT ergonomics right-size themselves.
+    """
+    import shutil
+
+    cmd = [sys.executable, __file__, "--scaling-run", str(cores), images_path, mode]
+    if shutil.which("taskset") and os.environ.get("SPARK_GRAFT_PIN_CPUS", "1") != "0":
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     if not last:
         raise RuntimeError(f"scaling run {cores}/{mode} failed: {proc.stderr[-2000:]}")

@@ -116,12 +116,33 @@ class DataQualityReport(DataQualityBaseModel):
 
     results: list[DataQualityResult] = Field(default_factory=list)
 
-    def to_dataframe(self, decimals: int = 4) -> pd.DataFrame:
+    def to_dataframe(
+        self,
+        decimals: int = 4,
+        measurement_time_format: str | None = None,
+        records_failed_ids_shift: int = 0,
+    ) -> pd.DataFrame:
+        """Tabular report (parity: reference results/models.py:254-298).
+
+        ``measurement_time_format``: optional strftime format applied to the
+        measurement_time column. ``records_failed_ids_shift``: added to every
+        integer failed-record id (the reference offers this to align pandas
+        row positions with e.g. spreadsheet rows; our ids are stable row ids,
+        so the shift only applies when they are integers).
+        """
         rows = []
         for result in self.results:
             row = result.to_dict()
             if result.pass_rate is not None:
                 row["pass_rate"] = round(result.pass_rate, decimals)
+            if measurement_time_format and row.get("measurement_time") is not None:
+                ts = pd.Timestamp(row["measurement_time"])
+                row["measurement_time"] = ts.strftime(measurement_time_format)
+            if records_failed_ids_shift and row.get("records_failed_ids"):
+                row["records_failed_ids"] = [
+                    i + records_failed_ids_shift if isinstance(i, int) else i
+                    for i in row["records_failed_ids"]
+                ]
             rows.append(row)
         return pd.DataFrame(rows)
 

@@ -55,8 +55,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
-        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        .config(
+            "spark.driver.extraJavaOptions",
+            ("-Duser.timezone=UTC " + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")).strip(),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            ("-Duser.timezone=UTC " + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")).strip(),
+        )
     )
     for key, value in engine_conf().items():
         builder = builder.config(key, value)
