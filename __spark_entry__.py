@@ -455,6 +455,25 @@ def _q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality 'describe' a monitoring dashboard
+    reads): count/min/max/mean/stddev/exact-median per numeric column, all
+    in ONE aggregation pass."""
+    li = _read(spark, sf_dir, "lineitem")
+    out = []
+    for col in ("l_quantity", "l_extendedprice", "l_discount"):
+        c = F.col(col)
+        out += [
+            F.count(c).alias(f"{col}_n"),
+            F.round(F.min(c), 4).alias(f"{col}_min"),
+            F.round(F.max(c), 4).alias(f"{col}_max"),
+            F.round(F.avg(c), 4).alias(f"{col}_avg"),
+            F.round(F.stddev_samp(c), 4).alias(f"{col}_std"),
+            F.round(F.percentile(c, F.lit(0.5)), 4).alias(f"{col}_median"),
+        ]
+    return li.agg(*out)
+
+
 def _q_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT character-5-gram Jaccard pairs (>= 0.5) over a deterministic
     10% document sample — the LSH verifier measured end-to-end against a
@@ -560,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_by_brand": _q_top_parts_by_brand,
         "daily_quality_trend": _q_daily_quality_trend,
         "jaccard_exact_pairs": _q_jaccard_exact_pairs,
+        "numeric_profile": _q_numeric_profile,
         "pipeline_keep_by_defect": _q_pipeline_keep_by_defect,
         "langid_documents": _q_langid_documents,
         "audio_features": _q_audio_features,
@@ -762,6 +782,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p_brand, p_partkey, revenue, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3 ORDER BY p_brand, rank
+        """,
+        "numeric_profile": """
+            SELECT
+                COUNT(l_quantity) AS l_quantity_n,
+                ROUND(MIN(l_quantity), 4) AS l_quantity_min,
+                ROUND(MAX(l_quantity), 4) AS l_quantity_max,
+                ROUND(AVG(l_quantity), 4) AS l_quantity_avg,
+                ROUND(STDDEV_SAMP(l_quantity), 4) AS l_quantity_std,
+                ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS l_quantity_median,
+                COUNT(l_extendedprice) AS l_extendedprice_n,
+                ROUND(MIN(l_extendedprice), 4) AS l_extendedprice_min,
+                ROUND(MAX(l_extendedprice), 4) AS l_extendedprice_max,
+                ROUND(AVG(l_extendedprice), 4) AS l_extendedprice_avg,
+                ROUND(STDDEV_SAMP(l_extendedprice), 4) AS l_extendedprice_std,
+                ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS l_extendedprice_median,
+                COUNT(l_discount) AS l_discount_n,
+                ROUND(MIN(l_discount), 4) AS l_discount_min,
+                ROUND(MAX(l_discount), 4) AS l_discount_max,
+                ROUND(AVG(l_discount), 4) AS l_discount_avg,
+                ROUND(STDDEV_SAMP(l_discount), 4) AS l_discount_std,
+                ROUND(QUANTILE_CONT(l_discount, 0.5), 4) AS l_discount_median
+            FROM lineitem
         """,
         "jaccard_exact_pairs": r"""
             WITH d AS (
