@@ -476,13 +476,13 @@ def _q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT character-5-gram Jaccard pairs (>= 0.5) over a deterministic
-    10% document sample — the LSH verifier measured end-to-end against a
+    50% document sample — the LSH verifier measured end-to-end against a
     pure-SQL oracle (explode shingles -> self-join -> |A∩B| / |A∪B|).
     The plan is the scale-honest exact-join formulation: one explode, one
     equi-join on the shingle, one pair aggregation."""
     from gchq_data_quality_spark.functions.dedup import _shingles
 
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     norm_sh = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"), 5)).alias("sh")
     )
@@ -808,7 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_exact_pairs": r"""
             WITH d AS (
                 SELECT doc_id, regexp_replace(LOWER(text), '\s+', ' ', 'g') AS norm
-                FROM documents WHERE doc_id % 10 = 0
+                FROM documents WHERE doc_id % 2 = 0
             ), pos AS (
                 SELECT doc_id, norm,
                        UNNEST(generate_series(1, greatest(length(norm) - 4, 1))) AS i
