@@ -538,6 +538,35 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seek-based Y4M frame sampling + feature extraction over a
+    deterministic synthetic clip table (multimodal plumbing; binary decode
+    is not SQL-expressible -> rows-only check)."""
+    from gchq_data_quality_spark.functions.video import (
+        synth_y4m_bytes,
+        with_video_features,
+    )
+
+    rows = []
+    for i in range(60):
+        if i % 12 == 5:
+            payload = b"corrupt clip" + bytes([i % 256]) * 16
+        else:
+            payload = synth_y4m_bytes(
+                n_frames=6 + (i % 4) * 3, w=32, h=24, fps=6, motion=i % 5
+            )
+        rows.append((i, payload, "y4m"))
+    df = spark.createDataFrame(rows, "video_id long, bytes binary, fmt string")
+    feats = with_video_features(df, every_n=3)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("decode_error").isNull().cast("long")).alias("n_decoded"),
+        F.sum("n_frames").alias("total_frames"),
+        F.round(F.sum("duration_sec"), 4).alias("total_duration_sec"),
+        F.round(F.avg("motion"), 4).alias("avg_motion"),
+    )
+
+
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gchq_data_quality_spark.functions.dedup import minhash_candidate_pairs
 
@@ -583,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_keep_by_defect": _q_pipeline_keep_by_defect,
         "langid_documents": _q_langid_documents,
         "audio_features": _q_audio_features,
+        "video_features": _q_video_features,
         "minhash_candidates": _q_minhash_candidates,
         "simhash_pairs": _q_simhash_pairs,
     }
@@ -842,6 +872,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         # pipeline_keep_by_defect / langid_documents / minhash_candidates /
-        # simhash_pairs / audio_features: model-scoring, LSH, and binary
-        # decode ops — no SQL equivalent, rows-only check.
+        # simhash_pairs / audio_features / video_features: model-scoring, LSH,
+        # and binary decode ops — no SQL equivalent, rows-only check.
     }

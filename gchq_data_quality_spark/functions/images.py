@@ -101,17 +101,17 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def sample_video_frames(data: bytes, fmt: str, every_n: int = 30) -> list[np.ndarray]:
-    """Frame sampling for video payloads — STUB.
+    """Frame sampling for video payloads.
 
-    Video codecs (ffmpeg/pyav) are not available in this environment; the
-    Spark-side plumbing (binary column in, array-of-frames out via
-    mapInPandas) is what the engine provides. Raises so callers fail loudly
-    rather than silently producing garbage.
+    Real for Y4M (pure-numpy seekable codec, functions/video.py); compressed
+    containers (mp4/webm) raise NotImplementedError until ffmpeg/pyav exist
+    in the runtime — callers fail loudly rather than silently producing
+    garbage.
     """
-    raise NotImplementedError(
-        f"video frame sampling for {fmt!r} requires a codec library "
-        "(ffmpeg/pyav) not present in this environment"
-    )
+    from gchq_data_quality_spark.functions.video import decode_video_frames
+
+    _, sampled = decode_video_frames(data, fmt, every_n=every_n)
+    return [frame for _, frame in sampled]
 
 
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"

@@ -60,8 +60,10 @@ def test_feature_extraction(spark):
     assert got == pytest.approx(float(expected), abs=1e-6)
 
 
-def test_video_stub_raises():
-    with pytest.raises(NotImplementedError, match="codec"):
+def test_video_compressed_formats_raise():
+    # y4m is a real codec now (functions/video.py); compressed containers
+    # still need ffmpeg/pyav and must fail loudly
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
         sample_video_frames(b"xxxx", "mp4")
 
 
