@@ -77,6 +77,7 @@ def main(argv: list[str] | None = None) -> None:
     # hold on ANY cluster this job is submitted to — Spark 4.x defaults to
     # ANSI, where one malformed row would abort the job instead of being
     # counted/skipped by the rule algebra.
+    pre_existing = SparkSession.getActiveSession() is not None
     builder = SparkSession.builder.appName("quality_filter_job")
     for key, value in engine_conf().items():
         builder = builder.config(key, value)
@@ -160,7 +161,8 @@ def main(argv: list[str] | None = None) -> None:
 
     print(json.dumps({**summary, "elapsed_sec": round(elapsed, 2),
                       "rows_per_sec": round(summary["rows_written"] / max(elapsed, 1e-9), 1)}))
-    spark.stop()
+    if not pre_existing:  # don't tear down a session the caller owns
+        spark.stop()
 
 
 if __name__ == "__main__":

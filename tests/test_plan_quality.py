@@ -143,3 +143,35 @@ def test_lsh_joins_never_cartesian(spark):
         plan = _plan(pairs)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scrubber_gate_in_plan(spark):
+    """The scrub chain must sit behind the single candidate-regex gate
+    (CASE WHEN rlike(...)), so clean rows never pay the replace chain."""
+    from gchq_data_quality_spark.functions.scrub import Scrubber
+
+    df = spark.createDataFrame([("hello",)], "caption string")
+    plan = _optimized(df.select(Scrubber().apply(F.col("caption")).alias("s")))
+    assert "CASE WHEN" in plan and "RLIKE" in plan
+    # disabling the gate removes the conditional
+    ungated = Scrubber(prefilter_regex=None)
+    plan2 = _optimized(df.select(ungated.apply(F.col("caption")).alias("s")))
+    assert "CASE WHEN" not in plan2
+
+
+def test_multimodal_feature_plans_are_shuffle_free(spark):
+    """Audio/video feature extraction is one mapInPandas stage over the
+    source — no Exchange (the bytes never shuffle)."""
+    from gchq_data_quality_spark.functions.audio import synth_wav_bytes, with_audio_features
+    from gchq_data_quality_spark.functions.video import synth_y4m_bytes, with_video_features
+
+    audio = spark.createDataFrame(
+        [(0, synth_wav_bytes(), "wav")], "id long, bytes binary, fmt string"
+    )
+    video = spark.createDataFrame(
+        [(0, synth_y4m_bytes(), "y4m")], "id long, bytes binary, fmt string"
+    )
+    for frame in (with_audio_features(audio), with_video_features(video)):
+        plan = _plan(frame)
+        assert "Exchange" not in plan
+        assert plan.count("MapInPandas") == 1
