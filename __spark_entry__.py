@@ -5,11 +5,15 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 (rule metrics compiled to single-pass aggregations, text
-analysis, dedup, similarity search, classic join/agg plans), each paired
-with ANSI SQL DuckDB runs on the same parquet tables. Non-SQL-expressible
-ops (pipeline keep/drop, MinHash/SimHash LSH, langid) omit the oracle and
-get the driver's rows-only check.
+from SURVEY.md §2 — 29 queries (rule metrics compiled to single-pass
+aggregations, text analysis, window-function sessionization/top-k, column
+profiling, dedup, exact-jaccard verification, similarity search, classic
+join/agg plans), 23 paired with ANSI SQL DuckDB oracles over the same
+parquet tables. Non-SQL-expressible ops (pipeline keep/drop, MinHash/
+SimHash LSH, langid, audio/video binary decode) omit the oracle and get the
+driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
+matches Spark's arrow types exactly — the driver hashes arrow encodings
+(tests/test_entry_oracle.py asserts type parity per query).
 """
 
 from __future__ import annotations

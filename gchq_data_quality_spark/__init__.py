@@ -19,6 +19,7 @@ from gchq_data_quality_spark.operators.timeliness import (
     TimelinessStaticRule,
 )
 from gchq_data_quality_spark.operators.uniqueness import UniquenessRule
+from gchq_data_quality_spark.plans.flatten import flatten_spark
 from gchq_data_quality_spark.operators.validity import (
     ValidityNumericalRangeRule,
     ValidityRegexRule,
@@ -44,4 +45,5 @@ __all__ = [
     "ValidityRegexRule",
     "annotate",
     "evaluate_rules",
+    "flatten_spark",
 ]

@@ -177,6 +177,20 @@ def flatten(
     return df.select(*out_cols), mapping
 
 
+def flatten_spark(df: DataFrame, flatten_cols: list[str]) -> DataFrame:
+    """Reference-signature wrapper (spark/dataframe_operations.py:37-91, used
+    directly in the reference's PySpark tutorial): flatten the requested
+    nested paths and return ONLY those columns under their Spark-safe names.
+    Returns the input unchanged when nothing is nested (same short-circuit).
+    """
+    if not any(is_nested(p) for p in flatten_cols):
+        return df
+    flat, mapping = flatten(df, flatten_cols)
+    return flat.select(
+        *[F.col(mapping[p]).alias(safe_name(p)) for p in flatten_cols]
+    )
+
+
 def explosion_signature(paths: list[str]) -> frozenset[str]:
     """The set of ``[*]`` prefixes a rule's columns require.
 

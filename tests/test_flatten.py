@@ -142,3 +142,21 @@ def test_flat_passthrough(spark):
     out, mapping = flatten(df, ["x"])
     assert out is df
     assert mapping == {"x": "x"}
+
+
+def test_flatten_spark_reference_signature(spark):
+    """The reference tutorial's public entry point: flatten_spark(df, cols)
+    returns ONLY the requested columns under spark-safe names (and the input
+    unchanged when nothing is nested)."""
+    from gchq_data_quality_spark import flatten_spark
+
+    df = spark.createDataFrame(
+        [(1, [{"name": "rex", "age": 3}, {"name": "tom", "age": 5}])],
+        "owner_id long, pets array<struct<name:string,age:long>>",
+    )
+    flat = flatten_spark(df, ["owner_id", "pets[*].age"])
+    assert flat.columns == ["owner_id", "pets_all_age"]
+    assert sorted(r.pets_all_age for r in flat.collect()) == [3, 5]
+
+    plain = flatten_spark(df, ["owner_id"])
+    assert plain is df  # short-circuit parity: nothing nested
