@@ -65,15 +65,6 @@ def valid_ngram_mask(starts: np.ndarray, lengths: np.ndarray, total: int, n: int
     return mask
 
 
-def doc_ids_for_positions(starts: np.ndarray, total: int, n: int) -> np.ndarray:
-    """Document id of each n-gram position (position -> owning doc)."""
-    m = max(total - n + 1, 0)
-    ids = np.zeros(m, dtype=np.int64)
-    if m and len(starts) > 1:
-        ids = np.searchsorted(starts, np.arange(m), side="right") - 1
-    return ids
-
-
 def batch_ngram_features(
     texts: list[str | None], orders: tuple[int, ...], buckets: int
 ) -> tuple[np.ndarray, np.ndarray]:
