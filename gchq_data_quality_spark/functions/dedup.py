@@ -102,14 +102,19 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def _signed64(u: int) -> int:
-    return u - (1 << 64) if u >= (1 << 63) else u
-
-
 def _family_coeffs(n_hashes: int) -> list[tuple[int, int]]:
-    """(a_i odd, b_i) multiply-shift universal-hash family coefficients."""
+    """(a_i odd 31-bit, b_i 31-bit) universal-hash family coefficients.
+
+    Coefficients are bounded to 31 bits so ``a_i * (h & 0xFFFFFFFF) + b_i``
+    stays below 2^63 — the affine mix can NEVER overflow a long, which
+    matters because Spark 4 clusters default to ANSI mode where a wrapping
+    multiply raises ARITHMETIC_OVERFLOW instead of wrapping. (The engine's
+    own sessions disable ANSI, but operators must also run correctly in a
+    caller-provided ANSI session.)
+    """
+    mask31 = (1 << 31) - 1
     return [
-        (_signed64(_splitmix64(2 * i + 1) | 1), _signed64(_splitmix64(2 * i + 2)))
+        ((_splitmix64(2 * i + 1) & mask31) | 1, _splitmix64(2 * i + 2) & mask31)
         for i in range(n_hashes)
     ]
 
@@ -128,8 +133,9 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
 def _minhash_signature(shingle_col: Column, n_hashes: int) -> Column:
     """array<long> of length n_hashes: min over shingles of affine families
-    of one base xxhash64 (h_i = a_i*h + b_i, wrapping two's-complement
-    multiply — the standard universal-hashing minhash construction).
+    of one base xxhash64 (h_i = a_i*(h & 0xFFFFFFFF) + b_i with 31-bit
+    coefficients — the standard universal-hashing minhash construction,
+    bounded so it can never overflow under ANSI mode).
 
     ONE traversal of the hashed-shingle array: ``aggregate`` folds a
     running-minimum accumulator of n_hashes values. ``shingle_col`` must be
@@ -143,7 +149,9 @@ def _minhash_signature(shingle_col: Column, n_hashes: int) -> Column:
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), n_hashes)
 
     def step(acc: Column, h: Column) -> Column:
-        hashes = F.array(*[h * F.lit(a) + F.lit(b) for a, b in coeffs])
+        # 31-bit coeffs x 32-bit masked value: the affine mix cannot overflow
+        h32 = h.bitwiseAND(F.lit((1 << 32) - 1))
+        hashes = F.array(*[h32 * F.lit(a) + F.lit(b) for a, b in coeffs])
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
     return F.aggregate(shingle_col, init, step)
@@ -176,7 +184,9 @@ def _minhash_band_buckets(
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), n_hashes)
 
     def step(acc: Column, h: Column) -> Column:
-        hashes = F.array(*[h * F.lit(a) + F.lit(b) for a, b in coeffs])
+        # 31-bit coeffs x 32-bit masked value: the affine mix cannot overflow
+        h32 = h.bitwiseAND(F.lit((1 << 32) - 1))
+        hashes = F.array(*[h32 * F.lit(a) + F.lit(b) for a, b in coeffs])
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
     def finish(acc: Column) -> Column:

@@ -1,0 +1,83 @@
+"""The engine's sessions disable ANSI, but the DRIVER calls entry()/queries()
+with its own session — Spark 4 defaults to ANSI mode there, where a wrapping
+multiply raises ARITHMETIC_OVERFLOW instead of wrapping. Every hash-combine
+in the query surface must therefore be overflow-free BY CONSTRUCTION
+(31-bit coefficients x 32-bit masked values). This suite flips the runtime
+ANSI flag on the shared session and runs the arithmetic-heavy operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def ansi(spark):
+    previous = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", previous)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river today"
+    rows = [(0, base), (1, base), (2, base.replace("today", "tonight")),
+            (3, "completely different content about machine learning")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_under_ansi(ansi, docs):
+    from gchq_data_quality_spark.functions.dedup import minhash_candidate_pairs
+
+    pairs = {(r.id_a, r.id_b) for r in minhash_candidate_pairs(docs, "text", "doc_id").collect()}
+    assert (0, 1) in pairs
+
+
+def test_simhash_under_ansi(ansi, docs):
+    from gchq_data_quality_spark.functions.dedup import simhash_dedup_pairs
+
+    pairs = {(r.id_a, r.id_b) for r in simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=8).collect()}
+    assert (0, 1) in pairs
+
+
+def test_repetition_and_text_heuristics_under_ansi(ansi, spark):
+    from gchq_data_quality_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        repetition_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [("buy now buy now buy now",), ("a perfectly ordinary sentence here",)],
+        "text string",
+    )
+    rows = df.select(
+        repetition_ratio(F.col("text")).alias("rep"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert rows[0].rep > 0.4 and rows[1].rep == 0.0
+
+
+def test_entry_pipeline_under_ansi(ansi):
+    """The driver smoke-check shape: entry(spark) on an ANSI session."""
+    import __spark_entry__ as m
+
+    out = m.entry(ansi)
+    assert out.count() >= 1
+
+
+def test_repetition_matches_non_ansi_values(spark, docs):
+    """Flipping ANSI must not change values — the arithmetic is bounded,
+    not silently wrapping differently per mode."""
+    from gchq_data_quality_spark.functions.text import repetition_ratio
+
+    expr = repetition_ratio(F.col("text")).alias("r")
+    plain = [r.r for r in docs.select(expr).collect()]
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        strict = [r.r for r in docs.select(expr).collect()]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert plain == strict
