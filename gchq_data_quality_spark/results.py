@@ -41,6 +41,38 @@ def calculate_pass_rate(records_passing: int, records_evaluated: int) -> float |
     return None
 
 
+def format_records_failed_sample(
+    values: list[dict] | None, n_items: int | None = None
+) -> list[dict] | None:
+    """Truncate a failed-record sample to ``n_items``; None when empty
+    (golden cases: reference tests/data/format_records_failed_sample.yaml —
+    duplicates are preserved, de-duplication happens upstream)."""
+    if not values:
+        return None
+    limit = SampleConfig.RECORDS_FAILED_SAMPLE_SIZE if n_items is None else n_items
+    return values[:limit]
+
+
+def aggregate_records_failed_samples(
+    records_failed_sample_series, limit: int | None = None
+) -> list[dict] | None:
+    """Concatenate per-partition sample lists (None / empty skipped) into one
+    bounded list (parity: reference results/utils.py:80-103, golden cases
+    tests/data/aggregate_records_failed_samples.yaml). Our engine computes
+    samples globally in one job so it never *needs* this merge — kept for API
+    parity with callers combining externally-partitioned reports."""
+    merged = [
+        item
+        for sample in records_failed_sample_series
+        if isinstance(sample, list)
+        for item in sample
+    ]
+    if not merged:
+        return None
+    cap = SampleConfig.RECORDS_FAILED_SAMPLE_SIZE if limit is None else limit
+    return merged[:cap]
+
+
 def _jsonable(value: Any) -> Any:
     if value is None or (not isinstance(value, (list, dict, str)) and pd.isna(value)):
         return None
@@ -145,6 +177,19 @@ class DataQualityReport(DataQualityBaseModel):
                 ]
             rows.append(row)
         return pd.DataFrame(rows)
+
+    @classmethod
+    def from_json(cls, source: str) -> "DataQualityReport":
+        """Load a report from a JSON file path or a JSON string — the inverse
+        of ``to_json(path)`` (reference models.py:166-188 only serialises;
+        the loader closes the round-trip for reports persisted outside a
+        table)."""
+        import os
+
+        if os.path.exists(source):
+            with open(source) as f:
+                source = f.read()
+        return cls(**json.loads(source))
 
     @classmethod
     def from_dataframe(cls, df: pd.DataFrame) -> "DataQualityReport":

@@ -109,3 +109,30 @@ def test_isin_large_membership(spark):
     assert out[None] is None
     inv = {r.v: r.accuracy_pass for r in isin_large(df, "v", authority, "allowed", inverse=True).collect()}
     assert inv["z"] is True and inv["a"] is False
+
+
+def test_report_json_file_roundtrip(tmp_path, spark):
+    """report -> to_json(path) -> from_json -> to_dataframe equality
+    (reference models.py:166-188 serialises; from_json closes the loop)."""
+    from gchq_data_quality_spark import CompletenessRule
+    from gchq_data_quality_spark.engine import evaluate_rules
+    from gchq_data_quality_spark.results import DataQualityReport
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, x string"
+    )
+    results = evaluate_rules(
+        df, [CompletenessRule(field="x", rule_id="c1")], row_id_col="id"
+    )
+    report = DataQualityReport(results=results)
+    path = tmp_path / "report.json"
+    report.to_json(str(path))
+
+    loaded = DataQualityReport.from_json(str(path))
+    orig_df = report.to_dataframe().drop(columns=["measurement_time"])
+    loaded_df = loaded.to_dataframe().drop(columns=["measurement_time"])
+    assert orig_df.to_dict("records") == loaded_df.to_dict("records")
+    # and from a raw JSON string too
+    again = DataQualityReport.from_json(report.to_json())
+    assert len(again.results) == 1
+    assert again.results[0].records_failed_sample == report.results[0].records_failed_sample

@@ -242,6 +242,20 @@ def test_spark_safe_expression_case(case):
 
 @pytest.mark.parametrize(
     "case",
+    load_cases("spark_safe_expression"),
+    ids=case_ids(load_cases("spark_safe_expression")),
+)
+def test_spark_safe_expression_corpus_case(case):
+    """The reference's own spark_safe_expression corpus (expected key is
+    ``result``; consistency_expressions.yaml above uses ``expression``)."""
+    assert (
+        spark_safe_expression(case["inputs"]["expression"])
+        == case["expected"]["result"]
+    )
+
+
+@pytest.mark.parametrize(
+    "case",
     load_cases("extract_backticked_fields"),
     ids=case_ids(load_cases("extract_backticked_fields")),
 )
@@ -250,6 +264,40 @@ def test_extract_backticked_fields_case(case):
         extract_backticked_fields(case["inputs"]["expression"])
         == case["expected"]["extracted_list"]
     )
+
+
+# ---------------------------------------------------------------------------
+# failed-record sample formatting / partition-merge (results/utils.py parity)
+# ---------------------------------------------------------------------------
+
+from gchq_data_quality_spark.results import (  # noqa: E402
+    aggregate_records_failed_samples,
+    format_records_failed_sample,
+)
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("format_records_failed_sample"),
+    ids=case_ids(load_cases("format_records_failed_sample")),
+)
+def test_format_records_failed_sample_case(case):
+    inputs = case["inputs"]
+    got = format_records_failed_sample(inputs["values"], inputs["n_items"])
+    assert got == case["expected"]["formatted_sample"]
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("aggregate_records_failed_samples"),
+    ids=case_ids(load_cases("aggregate_records_failed_samples")),
+)
+def test_aggregate_records_failed_samples_case(case):
+    inputs = case["inputs"]
+    got = aggregate_records_failed_samples(
+        inputs["records_failed_sample_series"], limit=inputs.get("limit")
+    )
+    assert got == case["expected"]["records_failed_sample"]
 
 
 # ---------------------------------------------------------------------------
