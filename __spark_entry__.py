@@ -441,14 +441,25 @@ def _q_pipeline_keep_by_defect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out langid evaluation over the documents table: train on the
+    doc_id%2==0 half, score the disjoint half — n_correct measures
+    generalisation. NOTE the synthetic testdata's lang labels are
+    text-independent (all langs share one vocabulary), so held-out accuracy
+    here sits at the class prior by construction; the language-distinct
+    ≥0.99 held-out gate lives on the pipeline corpus
+    (tests/test_pipeline.py::test_language_id_accuracy,
+    tests/test_langid_holdout.py)."""
     from gchq_data_quality_spark.functions.langid import (
         train_langid_from_documents,
         with_langid,
     )
 
     docs = _read(spark, sf_dir, "documents")
-    model = train_langid_from_documents(spark, docs)
-    scored = with_langid(docs, model, text_col="text", out_prefix="pred_")
+    # deterministic train/test split: the model never sees the rows it is
+    # scored on, so n_correct measures generalisation, not memorisation
+    model = train_langid_from_documents(spark, docs.filter(F.col("doc_id") % 2 == 0))
+    heldout = docs.filter(F.col("doc_id") % 2 == 1)
+    scored = with_langid(heldout, model, text_col="text", out_prefix="pred_")
     return (
         scored.groupBy("lang")
         .agg(
