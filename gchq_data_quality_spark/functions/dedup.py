@@ -102,11 +102,22 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
 def _family_coeffs(n_hashes: int) -> list[tuple[int, int]]:
-    """(a_i odd 31-bit, b_i 31-bit) universal-hash family coefficients.
+    """(a_i odd 31-bit, b_i 31-bit) universal-hash family coefficients for
+    ``h_i(x) = (a_i * x + b_i) mod p`` with p = 2^31-1.
+
+    The mod is load-bearing, not a formality: without it the affine map is
+    MONOTONIC in x, so every family's min lands on the same argmin shingle
+    and the "n_hashes independent permutations" collapse into one (signature
+    agreement becomes 0-or-1 instead of ~Jaccard, and banding adds nothing).
+    The mod makes each family a distinct pseudo-permutation — the classic
+    universal-hashing minhash.
 
     Coefficients are bounded to 31 bits so ``a_i * (h & 0xFFFFFFFF) + b_i``
-    stays below 2^63 — the affine mix can NEVER overflow a long, which
+    stays below 2^63 — the arithmetic can NEVER overflow a long, which
     matters because Spark 4 clusters default to ANSI mode where a wrapping
     multiply raises ARITHMETIC_OVERFLOW instead of wrapping. (The engine's
     own sessions disable ANSI, but operators must also run correctly in a
@@ -119,13 +130,42 @@ def _family_coeffs(n_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def _family_min_step(coeffs: list[tuple[int, int]]):
+    """The shared fold step: elementwise min of the family hashes of one
+    evaluated shingle hash (a lambda variable — two integer ops + one pmod
+    per family, no re-traversal)."""
+
+    def step(acc: Column, h: Column) -> Column:
+        # 31-bit coeffs x 32-bit masked value (+31-bit b): cannot overflow
+        h32 = h.bitwiseAND(F.lit((1 << 32) - 1))
+        hashes = F.array(
+            *[
+                F.pmod(h32 * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+                for a, b in coeffs
+            ]
+        )
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    return step
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition ONLY under-partitioned inputs up to the session's default
     parallelism. Small files read as a handful of partitions, which would run
     the (CPU-bound) signature folds on a handful of cores; a 100 TB table
     already arrives with thousands of scan partitions and is left untouched.
+
+    Probe order matters for cost: ``inputFiles()`` walks the logical plan's
+    file indexes (no physical planning), so a wide scan — the 100 TB case —
+    short-circuits for free. Only plans that *might* be under-partitioned pay
+    the ``df.rdd`` DataFrame->RDD plan translation the partition count needs.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # non-file source: fall through to the exact probe
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -147,14 +187,7 @@ def _minhash_signature(shingle_col: Column, n_hashes: int) -> Column:
     """
     coeffs = _family_coeffs(n_hashes)
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), n_hashes)
-
-    def step(acc: Column, h: Column) -> Column:
-        # 31-bit coeffs x 32-bit masked value: the affine mix cannot overflow
-        h32 = h.bitwiseAND(F.lit((1 << 32) - 1))
-        hashes = F.array(*[h32 * F.lit(a) + F.lit(b) for a, b in coeffs])
-        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
-
-    return F.aggregate(shingle_col, init, step)
+    return F.aggregate(shingle_col, init, _family_min_step(coeffs))
 
 
 def minhash_signatures(
@@ -182,12 +215,7 @@ def _minhash_band_buckets(
     rows_per_band = n_hashes // bands
     coeffs = _family_coeffs(n_hashes)
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), n_hashes)
-
-    def step(acc: Column, h: Column) -> Column:
-        # 31-bit coeffs x 32-bit masked value: the affine mix cannot overflow
-        h32 = h.bitwiseAND(F.lit((1 << 32) - 1))
-        hashes = F.array(*[h32 * F.lit(a) + F.lit(b) for a, b in coeffs])
-        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+    step = _family_min_step(coeffs)
 
     def finish(acc: Column) -> Column:
         # acc is the materialised signature array here — element access is
@@ -218,6 +246,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     k: int = 5,
     max_bucket: int = 64,
+    ensure_parallel: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing at least one band bucket.
 
@@ -226,8 +255,14 @@ def minhash_candidate_pairs(
     cheaper but collapses on homogeneous corpora: moderately-similar docs all
     collide and the candidate set explodes quadratically. The per-bucket cap
     (max_bucket) additionally bounds blowup on boilerplate-heavy buckets.
+
+    ``ensure_parallel=False``: the caller already repartitioned ``df`` (e.g.
+    ngram_jaccard_pairs shares ONE repartition between the LSH and
+    verification lineages, letting Catalyst reuse the exchange).
     """
-    banded = _ensure_parallelism(df).select(
+    if ensure_parallel:
+        df = _ensure_parallelism(df)
+    banded = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             _minhash_band_buckets(_hashed_shingles(F.col(text_col), k), n_hashes, bands)
@@ -261,8 +296,11 @@ def ngram_jaccard_pairs(
     Pattern: cheap LSH recall pass -> exact verification join — the candidate
     set (not n^2) pays the exact-similarity cost.
     """
-    candidates = minhash_candidate_pairs(df, text_col, id_col, k=k, **lsh_kwargs)
-    shingled = _ensure_parallelism(df).select(
+    base = _ensure_parallelism(df)
+    candidates = minhash_candidate_pairs(
+        base, text_col, id_col, k=k, ensure_parallel=False, **lsh_kwargs
+    )
+    shingled = base.select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), k).alias("sh")
     )
     a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -278,14 +316,59 @@ def ngram_jaccard_pairs(
 
 
 def minhash_dedup(
-    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.7, **kwargs
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    transitive: bool = False,
+    max_iters: int = 3,
+    **kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates: keep the smallest id of each near-dup pair's
-    connected component (single-link, one union step — sufficient for the
-    common duplicate-cluster shapes; full transitive closure would iterate)."""
+    """Drop near-duplicates, keeping one representative per duplicate group.
+
+    Default (single-hop): drop every row that is the larger id of some
+    verified pair. Keeps exactly the *locally*-minimal rows — correct for the
+    common duplicate-cluster shapes, but a chain A~B~C where the middle doc
+    has the largest id keeps both local minima (A and C survive).
+
+    ``transitive=True``: bounded min-id label propagation over the verified
+    pair graph — ``max_iters`` rounds of (edge join -> min per node), so ids
+    up to ``max_iters`` hops from their component's minimum are labelled with
+    it; only the component-global minimum survives. Real duplicate chains are
+    shallow (boilerplate clusters are near-cliques), so 3 rounds covers them;
+    each round shuffles only the pair graph (the near-dup edges, orders of
+    magnitude smaller than the corpus), not the data.
+    """
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold, **kwargs)
-    # representative = min neighbour id (one hop)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if not transitive:
+        # representative = min neighbour id (one hop)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")
+
+    # symmetric edge list over only the ids that appear in some pair
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbour_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbour_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+        )
+    losers = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -56,16 +56,27 @@ def streaming_exact_dedup(
     out_cols = [f.name for f in stream_df.schema.fields]
 
     def dedup_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
         if state.hasTimedOut:
             state.remove()
             return
         emitted = state.get[0] if state.exists else 0
+        # a key's rows can span several Arrow chunks within one micro-batch:
+        # track the best (smallest-id) candidate across ALL chunks before
+        # emitting, or a larger id from an earlier chunk could win
+        best = None
         for pdf in pdf_iter:
             if emitted or pdf.empty:
                 continue
-            first = pdf.sort_values(id_col).head(1)[out_cols]
+            head = pdf.sort_values(id_col).head(1)[out_cols]
+            if best is None:
+                best = head
+            else:
+                best = pd.concat([best, head]).sort_values(id_col).head(1)
+        if best is not None and not emitted:
             emitted = 1
-            yield first
+            yield best
         state.update((emitted,))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)

@@ -210,3 +210,61 @@ def test_dedup_single_fold_plans(spark, docs):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert plan.count("aggregate(") <= 2, plan
+
+
+def test_minhash_dedup_transitive_closure(spark):
+    """Planted chain A~B~C with the LARGEST id in the middle: single-hop
+    keeps both local minima (A, C); transitive label propagation finds C's
+    component minimum through B and drops it."""
+    words = [f"tok{i:03d}" for i in range(60)]
+    a_text = " ".join(words[0:50])    # id 1
+    b_text = " ".join(words[5:55])    # id 5 (middle, largest id)
+    c_text = " ".join(words[10:60])   # id 3
+    rows = [
+        (1, a_text),
+        (5, b_text),
+        (3, c_text),
+        (10, "entirely different filler content about spark catalyst plans"),
+        (11, "another unrelated sentence mentioning parquet and arrow files"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.75).collect()
+    }
+    assert pairs == {(1, 5), (3, 5)}, pairs  # chain only: A~B, B~C, NOT A~C
+
+    single = {r.doc_id for r in minhash_dedup(docs, "text", "doc_id", threshold=0.75).collect()}
+    assert single == {1, 3, 10, 11}  # C (id 3) survives: local minimum
+
+    closed = {
+        r.doc_id
+        for r in minhash_dedup(
+            docs, "text", "doc_id", threshold=0.75, transitive=True
+        ).collect()
+    }
+    assert closed == {1, 10, 11}  # component minimum only
+
+
+def test_minhash_families_are_independent_permutations(spark):
+    """Regression: the family hash MUST be non-monotonic in the base shingle
+    hash. A monotonic (mod-free) affine family makes every component pick
+    the same argmin shingle, collapsing signature agreement to 0-or-1; true
+    minhash agreement concentrates near the pair's Jaccard."""
+    from gchq_data_quality_spark.functions.dedup import minhash_signatures
+
+    import numpy as np
+
+    words = [f"w{i:03d}" for i in range(40)]
+    a = " ".join(words[0:30])
+    b = " ".join(words[6:36])  # jaccard ~0.65 by construction
+    docs = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    sigs = {
+        r.id: np.array(r.sig)
+        for r in minhash_signatures(docs, "text", "doc_id", n_hashes=128).collect()
+    }
+    agreement = float((sigs[0] == sigs[1]).mean())
+    assert 0.4 < agreement < 0.9, (
+        f"agreement {agreement} is degenerate — families are not independent"
+    )
