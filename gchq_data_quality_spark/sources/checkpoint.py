@@ -63,6 +63,22 @@ class CheckpointManifest:
     def completed_buckets(self) -> set[int]:
         return {int(b) for b in self.load()["completed"]}
 
+    # -- job-defined metadata (e.g. per-bucket audit counts) ---------------
+    def merge_meta(self, key: str, entries: dict) -> None:
+        """Merge ``entries`` into the manifest's ``meta[key]`` mapping.
+        Jobs use this to persist per-bucket side data (audit counts) so a
+        resumed run can reconstruct whole-dataset aggregates covering the
+        buckets it skipped."""
+        state = self.load()
+        state.setdefault("meta", {}).setdefault(key, {}).update(entries)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(state, indent=2))
+        tmp.replace(self.path)
+
+    def get_meta(self, key: str) -> dict:
+        return self.load().get("meta", {}).get(key, {})
+
 
 def run_checkpointed(
     df: DataFrame,

@@ -82,6 +82,13 @@ def main(argv: list[str] | None = None) -> None:
     for key, value in engine_conf().items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
+    if pre_existing:
+        # getOrCreate() silently ignores builder configs on an existing
+        # session; every engine invariant is a runtime-settable SQL conf
+        # (ANSI off, UTC, Arrow batching), so apply them directly — on an
+        # ANSI session one malformed row would otherwise abort the job.
+        for key, value in engine_conf().items():
+            spark.conf.set(key, value)
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synthetic:
@@ -115,11 +122,16 @@ def main(argv: list[str] | None = None) -> None:
 
     # --keep-only drops failing rows from the output, so the audit CANNOT be
     # computed from the written files (pass_rate would read ~1.0 and measure
-    # nothing). Instead each batch's pre-filter flags are aggregated before
-    # the keep filter and the plain-sum counts accumulate across batches; the
-    # batch is persisted so annotate's scoring UDFs still run exactly once
-    # (the agg materialises the cache, the write reads from it).
-    prefilter_counts: dict[str, int] = {}
+    # nothing). Instead each batch's pre-filter flags are aggregated PER
+    # BUCKET before the keep filter; the per-bucket counts are persisted in
+    # the manifest so a resumed run can merge the counts of buckets it
+    # skipped — the written audit always covers the WHOLE dataset, not just
+    # the re-processed slice. The batch is persisted so annotate's scoring
+    # UDFs still run exactly once (the agg materialises the cache, the write
+    # reads from it).
+    from gchq_data_quality_spark.sources.checkpoint import BUCKET_COL, CheckpointManifest
+
+    prefilter_by_bucket: dict[str, dict[str, int]] = {}
     caches: list = []
 
     def transform(part):
@@ -127,9 +139,12 @@ def main(argv: list[str] | None = None) -> None:
         if args.keep_only:
             out = out.persist()
             caches.append(out)
-            row = out.agg(*pipe.audit_agg_exprs()).collect()[0]
-            for key, value in row.asDict().items():
-                prefilter_counts[key] = prefilter_counts.get(key, 0) + int(value or 0)
+            for row in out.groupBy(BUCKET_COL).agg(*pipe.audit_agg_exprs()).collect():
+                counts = row.asDict()
+                bucket = str(counts.pop(BUCKET_COL))
+                prefilter_by_bucket[bucket] = {
+                    k: int(v or 0) for k, v in counts.items()
+                }
             out = out.filter("keep")
         return out
 
@@ -149,10 +164,30 @@ def main(argv: list[str] | None = None) -> None:
         cached.unpersist(blocking=False)
 
     if args.keep_only:
-        if prefilter_counts:
-            report = pipe.report_from_counts(prefilter_counts)
-            audit_df = pipe.report_to_df(spark, report)
-        else:  # fully-resumed run: nothing re-processed, keep the old audit
+        manifest = CheckpointManifest(args.manifest)
+        if prefilter_by_bucket:
+            manifest.merge_meta("audit_counts", prefilter_by_bucket)
+        stored = manifest.get_meta("audit_counts")
+        completed = {str(b) for b in sorted(manifest.completed_buckets())}
+        missing = completed - set(stored)
+        if completed and not missing:
+            totals: dict[str, int] = {}
+            for bucket in completed:
+                for key, value in stored[bucket].items():
+                    totals[key] = totals.get(key, 0) + int(value or 0)
+            audit_df = pipe.report_to_df(spark, pipe.report_from_counts(totals))
+        else:
+            # a manifest written by an older run has no per-bucket counts for
+            # the skipped buckets: a rewrite would under-report the dataset,
+            # so keep the previously written audit and say so
+            if missing:
+                import warnings
+
+                warnings.warn(
+                    f"audit counts missing for completed buckets {sorted(missing)}; "
+                    "keeping the existing audit table",
+                    stacklevel=1,
+                )
             audit_df = None
     else:
         audit_df = pipe.audit_df(spark.read.parquet(args.output))

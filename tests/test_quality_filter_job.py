@@ -83,3 +83,69 @@ def test_job_keep_only_resume_skips_everything(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["buckets_run"] == 0 and summary["buckets_skipped"] == 4
     assert spark.read.parquet(str(audit)).count() == first_audit
+
+
+def test_job_keep_only_partial_resume_audits_whole_dataset(spark, tmp_path, capsys):
+    """ADVICE r2 (medium): after a partial failure + resume, the audit must
+    cover ALL buckets — the re-processed ones AND the skipped ones (their
+    per-bucket counts persist in the manifest)."""
+    out, audit, manifest = _run(tmp_path, ["--keep-only"])
+    full = {r.rule_id: r for r in spark.read.parquet(str(audit)).collect()}
+    assert full["caption_present"].records_evaluated == 400
+
+    # simulate a run that died after 2 of 4 buckets: drop two buckets from
+    # the manifest (completed + stored counts), as if they were never done
+    state = json.loads(Path(manifest).read_text())
+    for bucket in ("2", "3"):
+        state["completed"].pop(bucket)
+        state["meta"]["audit_counts"].pop(bucket)
+    Path(manifest).write_text(json.dumps(state))
+
+    quality_filter_job.main(
+        [
+            "--synthetic", "400",
+            "--output", str(out),
+            "--audit", str(audit),
+            "--manifest", str(manifest),
+            "--n-buckets", "4",
+            "--buckets-per-batch", "2",
+            "--keep-only",
+        ]
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["buckets_run"] == 2 and summary["buckets_skipped"] == 2
+    resumed = {r.rule_id: r for r in spark.read.parquet(str(audit)).collect()}
+    # the rewritten audit merges stored + re-processed counts: whole dataset
+    assert resumed["caption_present"].records_evaluated == 400
+    for rule_id, row in full.items():
+        assert resumed[rule_id].records_evaluated == row.records_evaluated
+        assert resumed[rule_id].pass_rate == pytest.approx(row.pass_rate)
+
+
+def test_job_keep_only_legacy_manifest_keeps_audit(spark, tmp_path, capsys):
+    """A manifest from an older run has no per-bucket counts: the job must
+    NOT overwrite the audit with partial numbers — it warns and leaves it."""
+    out, audit, manifest = _run(tmp_path, ["--keep-only"])
+    before = spark.read.parquet(str(audit)).collect()
+
+    state = json.loads(Path(manifest).read_text())
+    state.pop("meta")  # legacy manifest shape
+    # one bucket re-runs, three are skipped with no stored counts
+    state["completed"].pop("0")
+    Path(manifest).write_text(json.dumps(state))
+
+    with pytest.warns(UserWarning, match="audit counts missing"):
+        quality_filter_job.main(
+            [
+                "--synthetic", "400",
+                "--output", str(out),
+                "--audit", str(audit),
+                "--manifest", str(manifest),
+                "--n-buckets", "4",
+                "--buckets-per-batch", "2",
+                "--keep-only",
+            ]
+        )
+    capsys.readouterr()
+    after = spark.read.parquet(str(audit)).collect()
+    assert sorted(map(str, after)) == sorted(map(str, before))
