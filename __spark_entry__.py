@@ -5,11 +5,11 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 31 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 32 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
-profiling, dedup, the full LSH->exact-verify pipeline, similarity search,
-classic join/agg plans), 25 paired with ANSI SQL DuckDB oracles over the
-same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+profiling, dedup, the full LSH->exact-verify pipeline, the keep/drop
+exactness gate, similarity search, classic join/agg plans), 26 paired with
+ANSI SQL DuckDB oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -440,6 +440,35 @@ def _q_pipeline_keep_by_defect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_disagreements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows where the pipeline's keep/drop decision disagrees with the
+    synthetic table's planted expected_keep label — REQUIRED EMPTY. The
+    oracle is the empty relation with the same schema, so the driver's
+    row-count+schema+hash check becomes an exactness gate on the whole
+    keep/drop combiner (VERDICT r2 next-round #8)."""
+    from gchq_data_quality_spark.functions.langid import train_langid
+    from gchq_data_quality_spark.functions.perplexity import train_perplexity
+    from gchq_data_quality_spark.pipeline import QualityFilterConfig, QualityFilterPipeline
+    from gchq_data_quality_spark.sources.synthetic import (
+        LANGUAGES,
+        generate_images_df,
+        training_corpus,
+    )
+
+    texts, labels = training_corpus()
+    pipe = QualityFilterPipeline(
+        QualityFilterConfig(allowed_langs=LANGUAGES),
+        train_langid(texts, labels),
+        train_perplexity(texts),
+    )
+    out = pipe.annotate(generate_images_df(spark, 600))
+    return (
+        out.filter(F.col("keep") != F.col("expected_keep"))
+        .select("image_id", "defect", "keep", "expected_keep")
+        .orderBy("image_id")
+    )
+
+
 def _q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out langid evaluation over the documents table: train on the
     doc_id%2==0 half, score the disjoint half — n_correct measures
@@ -643,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": _q_lsh_verified_pairs,
         "numeric_profile": _q_numeric_profile,
         "pipeline_keep_by_defect": _q_pipeline_keep_by_defect,
+        "pipeline_disagreements": _q_pipeline_disagreements,
         "langid_documents": _q_langid_documents,
         "audio_features": _q_audio_features,
         "video_features": _q_video_features,
@@ -929,6 +959,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg_value
             FROM events WHERE ts IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        # pipeline_disagreements: keep/drop vs the planted labels — the
+        # pipeline itself isn't SQL-expressible, but its REQUIRED output is
+        # the empty relation, which is. A hash-green empty result is the
+        # driver-checked exactness gate on the keep/drop combiner.
+        "pipeline_disagreements": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS defect,
+                   CAST(NULL AS BOOLEAN) AS keep,
+                   CAST(NULL AS BOOLEAN) AS expected_keep
+            WHERE 1 = 0
         """,
         # pipeline_keep_by_defect / langid_documents / minhash_candidates /
         # simhash_pairs / audio_features / video_features: model-scoring, LSH,

@@ -218,3 +218,16 @@ def test_run_without_output_persists_annotated(spark, models):
         assert "InMemoryTableScan" in plan
     finally:
         annotated.unpersist(blocking=False)
+
+
+def test_keep_agrees_exactly_per_defect(annotated):
+    """Exactness gate behind pipeline_keep_by_defect: EVERY defect class
+    agrees with the planted labels row-for-row (n_agree == n), which is what
+    makes the empty pipeline_disagreements oracle hold."""
+    out, _ = annotated
+    rows = out.groupBy("defect").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("keep") == F.col("expected_keep")).cast("long")).alias("n_agree"),
+    ).collect()
+    mismatched = {r.defect: (r.n_agree, r.n) for r in rows if r.n_agree != r.n}
+    assert not mismatched, mismatched
