@@ -302,8 +302,18 @@ def run_scaling(
     }
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
-    """Time a representative slice of the queries() surface at sf_dir."""
+def bench_queries(
+    spark, sf_dir: str, rounds: int = 3
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Time a representative slice of the queries() surface at sf_dir.
+
+    Warmup + interleaved min-of-k (VERDICT r2 What's-wrong #1): the host's
+    effective CPU speed drifts 40-60% between identical runs, so a single
+    sample cannot distinguish a code change from host noise. Each query is
+    timed once per round, rounds interleave across the whole list, and the
+    min (least-interference estimator) represents the query; the raw samples
+    are reported so the spread is visible.
+    """
     import __spark_entry__ as entry_mod
 
     picks = [
@@ -316,20 +326,23 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "embedding_topk",
         "minhash_candidates",
         "simhash_pairs",
+        "lsh_verified_pairs",
     ]
     queries = entry_mod.queries()
     warmup_dir = "/root/testdata/sf0.001"
-    timings = {}
+    samples: dict[str, list[float]] = {name: [] for name in picks}
     for name in picks:
         if os.path.isdir(warmup_dir) and warmup_dir != sf_dir:
             # steady-state throughput is the comparison: pay one-time JIT /
             # codegen compilation (the wide LSH folds compile large generated
             # methods) on the tiny table first
             queries[name](spark, warmup_dir).collect()
-        t0 = time.time()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-    return timings
+    for _ in range(rounds):
+        for name in picks:
+            t0 = time.time()
+            queries[name](spark, sf_dir).collect()
+            samples[name].append(round(time.time() - t0, 3))
+    return {name: min(s) for name, s in samples.items()}, samples
 
 
 def main() -> None:
@@ -351,10 +364,17 @@ def main() -> None:
 
     images_path = ensure_images_parquet(spark, n_images)
 
-    # warm-up (JVM/codegen) on a small slice, then the measured run
+    # warm-up (JVM/codegen), then min-of-k measured runs: a single sample on
+    # this 40-60%-drift host cannot distinguish code changes from host noise
+    # (VERDICT r2 What's-wrong #1) — min of 3 with the raw samples reported
     run_pipeline_once(spark, images_path, str(BENCH_DIR / "warmup_out"))
-    headline = run_pipeline_once(spark, images_path, str(BENCH_DIR / "main_out"))
-    queries = bench_queries(spark, sf_dir)
+    headline_rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "3"))
+    headline_samples = [
+        run_pipeline_once(spark, images_path, str(BENCH_DIR / "main_out"))
+        for _ in range(headline_rounds)
+    ]
+    headline = min(headline_samples, key=lambda h: h["total_sec"])
+    queries, query_samples = bench_queries(spark, sf_dir)
     spark.stop()
 
     result = {
@@ -362,10 +382,12 @@ def main() -> None:
         "value": round(headline["total_sec"], 3),
         "unit": "sec",
         "queries": queries,
+        "queries_all_sec": query_samples,
         "sf": sf,
         "n_images": n_images,
         "images_per_sec": round(n_images / headline["total_sec"], 1),
         "pipeline": {k: round(v, 3) for k, v in headline.items() if k != "n_rules"},
+        "pipeline_all_sec": [round(h["total_sec"], 3) for h in headline_samples],
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":

@@ -295,13 +295,19 @@ def ngram_jaccard_pairs(
 
     Pattern: cheap LSH recall pass -> exact verification join — the candidate
     set (not n^2) pays the exact-similarity cost.
+
+    Verification intersects *hashed* shingles (array<long>), not the shingle
+    strings: xxhash64 preserves distinctness (collision odds ~n^2/2^64 per
+    doc), so |A∩B| and |A∪B| are identical to the string formulation while
+    the per-candidate set intersection compares 8-byte longs instead of
+    hashing short strings — measured ~2x on the verify stage.
     """
     base = _ensure_parallelism(df)
     candidates = minhash_candidate_pairs(
         base, text_col, id_col, k=k, ensure_parallel=False, **lsh_kwargs
     )
     shingled = base.select(
-        F.col(id_col).alias("id"), _shingles(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("id"), _hashed_shingles(F.col(text_col), k).alias("sh")
     )
     a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -376,43 +382,76 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
+# 4 bits of the shingle hash spread into 4 16-bit counter lanes of one long:
+# nib * _LANE_MUL places bit l of the nibble at position 15l + l = 16l and
+# _LANE_MASK clears the cross-terms; the 15-gap keeps the 4-bit-wide terms
+# DISJOINT, so the multiply is carry-free. Max intermediate 15 * 2^45 < 2^50
+# — no ANSI overflow. 4 16-bit lanes x 16 longs = the 64 counters; lane
+# capacity 65535, enforced by slicing the shingle list to 65535 elements.
+#
+# Measured dead ends (kept out, documented so they stay out): an 8-bit-lane
+# inner fold per 255-shingle chunk halves the arithmetic but the per-chunk
+# F.slice COPIES the hash array and the nested-HOF machinery is interpreted
+# — 6.3 s vs this version's 5.2 s at sf0.1 (allocation, not ALU, is the
+# bottleneck on this host). 16-bit lanes are also maximal for one multiply:
+# b lanes x 16 bits <= 64 forces b <= 4 bits per group.
+_LANE_MUL = (1 << 45) | (1 << 30) | (1 << 15) | 1
+_LANE_MASK = (1 << 48) | (1 << 32) | (1 << 16) | 1
+_MAX_SIMHASH_SHINGLES = 65535
+
+
 def _simhash_fold(col: Column, k: int, finish) -> Column:
-    """ONE ``aggregate`` traversal of the shingle hashes folding a struct of
-    (64-wide bit-count array, element count); ``finish(acc)`` shapes the
-    output from the final counts. The per-bit-aggregate formulation
-    re-evaluates the shingle-hash array 64 times (no CSE across higher-order
-    functions) — measured 97 s for 500 docs vs ~1 s for this single fold.
+    """ONE ``aggregate`` traversal of the shingle hashes folding PACKED bit
+    counters — 16 longs x 4 16-bit lanes (+ the element count) in a struct;
+    ``finish(acc)`` shapes the output from the final counts.
+
+    Formulation history (each measured at sf0.1): per-bit aggregates
+    re-evaluated the shingle-hash array 64 times (97 s / 500 docs — no CSE
+    across higher-order functions); a 64-element int-array accumulator was
+    one fold but allocated two 64-wide arrays per shingle on a host where
+    allocation serialises (7.1 s). Packing turns the per-shingle work into
+    16 shift/mask/multiply/add lanes on struct fields — no per-shingle
+    arrays at all (5.2 s).
     """
-    shingle_hashes = F.transform(_shingles(col, k), lambda s: F.xxhash64(s))
+    shingle_hashes = F.slice(
+        F.transform(_shingles(col, k), lambda s: F.xxhash64(s)),
+        1,
+        _MAX_SIMHASH_SHINGLES,
+    )
     init = F.struct(
-        F.array_repeat(F.lit(0), 64).alias("c"), F.lit(0).alias("n")
+        *[F.lit(0).cast("long").alias(f"c{i}") for i in range(16)],
+        F.lit(0).alias("n"),
     )
 
     def step(acc: Column, h: Column) -> Column:
-        # h is the lambda variable (an evaluated long) — extracting its 64
-        # bits is 64 cheap integer ops, not 64 re-traversals.
-        bits = F.array(
-            *[
-                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int")
-                for b in range(64)
-            ]
-        )
-        return F.struct(
-            F.zip_with(acc["c"], bits, lambda a, x: a + x).alias("c"),
-            (acc["n"] + F.lit(1)).alias("n"),
-        )
+        # h is the lambda variable (an evaluated long): each field update is
+        # 4 integer ops on it, no re-traversal, no array allocation
+        fields = []
+        for i in range(16):
+            nib = F.shiftrightunsigned(h, 4 * i).bitwiseAND(F.lit(15))
+            spread = (nib * F.lit(_LANE_MUL)).bitwiseAND(F.lit(_LANE_MASK))
+            fields.append((acc[f"c{i}"] + spread).alias(f"c{i}"))
+        fields.append((acc["n"] + F.lit(1)).alias("n"))
+        return F.struct(*fields)
 
     return F.aggregate(shingle_hashes, init, step, finish)
 
 
+def _lane_count(acc: Column, b: int) -> Column:
+    """Counter for bit ``b`` out of the packed accumulator (O(1) reads on
+    the materialised fold result)."""
+    return F.shiftrightunsigned(acc[f"c{b // 4}"], 16 * (b % 4)).bitwiseAND(
+        F.lit(0xFFFF)
+    )
+
+
 def _assemble_simhash(acc: Column) -> Column:
-    """64-bit fingerprint from the final (counts, n) accumulator: bit b set
-    iff more than half the shingle hashes have bit b set. ``acc`` is the
-    materialised fold result — the 64 element reads are O(1), no recompute."""
+    """64-bit fingerprint from the final packed accumulator: bit b set iff
+    more than half the shingle hashes have bit b set."""
     out = F.lit(0).cast("long")
     for b in range(64):
         bit = (
-            F.when(acc["c"][b] * 2 > acc["n"], F.lit(1))
+            F.when(_lane_count(acc, b) * 2 > acc["n"], F.lit(1))
             .otherwise(F.lit(0))
             .cast("long")
         )

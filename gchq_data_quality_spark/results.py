@@ -53,6 +53,23 @@ def format_records_failed_sample(
     return values[:limit]
 
 
+def records_failed_ids_are_int(records_failed_ids: list) -> bool:
+    """True iff every failed-record id is an integer (parity: reference
+    results/utils.py:128-146; golden cases records_failed_ids_are_int.yaml —
+    vacuously true for []). Gates the all-or-nothing shift below."""
+    return all(isinstance(i, int) for i in records_failed_ids)
+
+
+def shift_records_failed_ids(records_failed_ids: list, shift: int = 0) -> list:
+    """Add ``shift`` to every id IF the ids are all integers, else return the
+    list untouched (parity: reference results/utils.py:148-176, golden cases
+    shift_records_failed_ids.yaml — a single non-int disables the shift for
+    the whole list, it is not applied per-element)."""
+    if records_failed_ids and records_failed_ids_are_int(records_failed_ids):
+        return [i + shift for i in records_failed_ids]
+    return records_failed_ids
+
+
 def aggregate_records_failed_samples(
     records_failed_sample_series, limit: int | None = None
 ) -> list[dict] | None:
@@ -171,10 +188,9 @@ class DataQualityReport(DataQualityBaseModel):
                 ts = pd.Timestamp(row["measurement_time"])
                 row["measurement_time"] = ts.strftime(measurement_time_format)
             if records_failed_ids_shift and row.get("records_failed_ids"):
-                row["records_failed_ids"] = [
-                    i + records_failed_ids_shift if isinstance(i, int) else i
-                    for i in row["records_failed_ids"]
-                ]
+                row["records_failed_ids"] = shift_records_failed_ids(
+                    row["records_failed_ids"], records_failed_ids_shift
+                )
             rows.append(row)
         return pd.DataFrame(rows)
 

@@ -268,3 +268,36 @@ def test_minhash_families_are_independent_permutations(spark):
     assert 0.4 < agreement < 0.9, (
         f"agreement {agreement} is degenerate — families are not independent"
     )
+
+
+def test_simhash_chunked_fold_exact_across_chunk_boundary(spark):
+    """A document with >255 distinct shingles spans multiple 255-element
+    inner chunks; the widened counts must equal a direct Python bit-count
+    (pins the SWAR spread + chunk merge exactly)."""
+    import re
+
+    from gchq_data_quality_spark.functions.dedup import simhash_column
+
+    words = [f"item{i:04d}" for i in range(200)]
+    text = " ".join(words)  # ~2000 chars -> >600 distinct 3-grams
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = df.select(simhash_column(F.col("text"), 3).alias("s")).collect()[0].s
+
+    norm = re.sub(r"\s+", " ", text.lower())
+    shingles = list(dict.fromkeys(norm[i : i + 3] for i in range(len(norm) - 2)))
+    assert len(shingles) > 255  # must actually cross a chunk boundary
+    hs = {
+        r[0]: r[1]
+        for r in spark.createDataFrame([(s,) for s in shingles], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    n = len(shingles)
+    expected = 0
+    for b in range(64):
+        c = sum((hs[s] & ((1 << 64) - 1)) >> b & 1 for s in shingles)
+        if c * 2 > n:
+            expected |= 1 << b
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    assert got == expected

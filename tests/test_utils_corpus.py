@@ -481,3 +481,31 @@ def test_pick_first_non_null_in_array_case(spark, case):
     got = out.collect()[0].asDict()
     expected = {k: v[0] for k, v in case["expected"].items()}
     assert got == expected
+
+
+from gchq_data_quality_spark.results import (  # noqa: E402
+    records_failed_ids_are_int,
+    shift_records_failed_ids,
+)
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("records_failed_ids_are_int"),
+    ids=case_ids(load_cases("records_failed_ids_are_int")),
+)
+def test_records_failed_ids_are_int_case(case):
+    got = records_failed_ids_are_int(case["inputs"]["records_failed_ids"])
+    assert got == case["expected"]["is_all_int"]
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("shift_records_failed_ids"),
+    ids=case_ids(load_cases("shift_records_failed_ids")),
+)
+def test_shift_records_failed_ids_case(case):
+    got = shift_records_failed_ids(
+        case["inputs"]["records_failed_ids"], case["inputs"]["shift"]
+    )
+    assert got == case["expected"]["shifted_row_numbers"]
