@@ -5,11 +5,12 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 32 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 33 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
-profiling, dedup, the full LSH->exact-verify pipeline, the keep/drop
-exactness gate, similarity search, classic join/agg plans), 26 paired with
-ANSI SQL DuckDB oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+profiling, dedup, the full LSH->exact-verify pipeline, n-gram
+decontamination, the keep/drop exactness gate, similarity search, classic
+join/agg plans), 27 paired with ANSI SQL DuckDB oracles over the same
+parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -440,6 +441,22 @@ def _q_pipeline_keep_by_defect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: documents (doc_id % 17 != 0) sharing any
+    word 8-gram with the probe slice (doc_id % 17 == 0), with the distinct
+    shared-gram count — the GPT-3-style n-gram overlap rule as a broadcast
+    join. Oracle computes the same overlap on gram STRINGS in SQL."""
+    from gchq_data_quality_spark.functions.decontamination import contamination_hits
+
+    docs = _read(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 17 == 0)
+    scored = docs.filter(F.col("doc_id") % 17 != 0)
+    return (
+        contamination_hits(scored, probes, text_col="text", id_col="doc_id", n=8)
+        .orderBy("doc_id")
+    )
+
+
 def _q_pipeline_disagreements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows where the pipeline's keep/drop decision disagrees with the
     synthetic table's planted expected_keep label — REQUIRED EMPTY. The
@@ -670,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_quality_trend": _q_daily_quality_trend,
         "jaccard_exact_pairs": _q_jaccard_exact_pairs,
         "lsh_verified_pairs": _q_lsh_verified_pairs,
+        "decontamination_hits": _q_decontamination_hits,
         "numeric_profile": _q_numeric_profile,
         "pipeline_keep_by_defect": _q_pipeline_keep_by_defect,
         "pipeline_disagreements": _q_pipeline_disagreements,
@@ -923,6 +941,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "decontamination_hits": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents WHERE text IS NOT NULL
+            ), idx AS (
+                SELECT doc_id, ts,
+                       UNNEST(generate_series(1, greatest(len(ts) - 7, 0))) AS i
+                FROM toks
+            ), grams AS (
+                SELECT doc_id, array_to_string(ts[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS g
+                FROM idx
+            ), probe AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+            ), doc_grams AS (
+                SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 17 <> 0
+            )
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM doc_grams JOIN probe USING (g)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "lsh_verified_pairs": r"""
             WITH d AS (
