@@ -400,10 +400,21 @@ _LANE_MASK = (1 << 48) | (1 << 32) | (1 << 16) | 1
 _MAX_SIMHASH_SHINGLES = 65535
 
 
-def _simhash_fold(col: Column, k: int, finish) -> Column:
+def _simhash_fold(
+    col: Column, k: int, finish, sample: int | None = None
+) -> Column:
     """ONE ``aggregate`` traversal of the shingle hashes folding PACKED bit
     counters — 16 longs x 4 16-bit lanes (+ the element count) in a struct;
     ``finish(acc)`` shapes the output from the final counts.
+
+    ``sample``: consistent bottom-k sketching — documents with more than
+    ``sample`` distinct shingles fold only the ``sample`` SMALLEST shingle
+    hashes. Selection by hash value is the minhash trick: near-duplicate
+    documents select near-identical subsets, so the majority votes stay
+    aligned, while the per-document fold cost is bounded by a constant
+    instead of the document length (the standard sketch move for simhash
+    over long documents). One array_sort + slice per ROW (cheap) buys a
+    bounded number of per-SHINGLE fold steps (the expensive part).
 
     Formulation history (each measured at sf0.1): per-bit aggregates
     re-evaluated the shingle-hash array 64 times (97 s / 500 docs — no CSE
@@ -413,34 +424,49 @@ def _simhash_fold(col: Column, k: int, finish) -> Column:
     16 shift/mask/multiply/add lanes on struct fields — no per-shingle
     arrays at all (5.2 s).
     """
-    shingle_hashes = F.slice(
-        F.transform(_shingles(col, k), lambda s: F.xxhash64(s)),
-        1,
-        _MAX_SIMHASH_SHINGLES,
-    )
-    init = F.struct(
-        *[F.lit(0).cast("long").alias(f"c{i}") for i in range(16)],
-        F.lit(0).alias("n"),
-    )
+    cap = _MAX_SIMHASH_SHINGLES if sample is None else sample
+    raw = F.transform(_shingles(col, k), lambda s: F.xxhash64(s))
 
-    def step(acc: Column, h: Column) -> Column:
-        # h is the lambda variable (an evaluated long): each field update is
-        # 4 integer ops on it, no re-traversal, no array allocation
-        fields = []
-        for i in range(16):
-            nib = F.shiftrightunsigned(h, 4 * i).bitwiseAND(F.lit(15))
-            spread = (nib * F.lit(_LANE_MUL)).bitwiseAND(F.lit(_LANE_MASK))
-            fields.append((acc[f"c{i}"] + spread).alias(f"c{i}"))
-        fields.append((acc["n"] + F.lit(1)).alias("n"))
-        return F.struct(*fields)
+    def fold(hs: Column) -> Column:
+        # bind-once wrapper: `hs` is referenced by size+sort+slice below and
+        # each reference to a HOF-bearing expression would re-evaluate it
+        if sample is None:
+            hashes = F.slice(hs, 1, cap)
+        else:
+            hashes = F.when(
+                F.size(hs) > cap, F.slice(F.array_sort(hs), 1, cap)
+            ).otherwise(hs)
+        # accumulator = array of 17 longs (16 packed counter words + the
+        # element count in slot 16). Measured 1.4x faster than a named-struct
+        # accumulator: zip_with(+) over a primitive long array beats
+        # per-shingle CreateNamedStruct row construction.
+        init = F.array_repeat(F.lit(0).cast("long"), 17)
 
-    return F.aggregate(shingle_hashes, init, step, finish)
+        def step(acc: Column, h: Column) -> Column:
+            # h is the lambda variable (an evaluated long): each slot is
+            # 4 integer ops on it, no re-traversal
+            spreads = [
+                (
+                    F.shiftrightunsigned(h, 4 * i).bitwiseAND(F.lit(15))
+                    * F.lit(_LANE_MUL)
+                ).bitwiseAND(F.lit(_LANE_MASK))
+                for i in range(16)
+            ]
+            return F.zip_with(
+                acc,
+                F.array(*spreads, F.lit(1).cast("long")),
+                lambda a, b: a + b,
+            )
+
+        return F.aggregate(hashes, init, step, finish)
+
+    return F.transform(F.array(raw), fold)[0]
 
 
 def _lane_count(acc: Column, b: int) -> Column:
-    """Counter for bit ``b`` out of the packed accumulator (O(1) reads on
-    the materialised fold result)."""
-    return F.shiftrightunsigned(acc[f"c{b // 4}"], 16 * (b % 4)).bitwiseAND(
+    """Counter for bit ``b`` out of the packed accumulator array (O(1)
+    reads on the materialised fold result)."""
+    return F.shiftrightunsigned(acc[b // 4], 16 * (b % 4)).bitwiseAND(
         F.lit(0xFFFF)
     )
 
@@ -451,7 +477,7 @@ def _assemble_simhash(acc: Column) -> Column:
     out = F.lit(0).cast("long")
     for b in range(64):
         bit = (
-            F.when(_lane_count(acc, b) * 2 > acc["n"], F.lit(1))
+            F.when(_lane_count(acc, b) * 2 > acc[16], F.lit(1))
             .otherwise(F.lit(0))
             .cast("long")
         )
@@ -459,9 +485,11 @@ def _assemble_simhash(acc: Column) -> Column:
     return out
 
 
-def simhash_column(col: Column, k: int = 3) -> Column:
-    """64-bit simhash over character k-gram hashes, all native exprs."""
-    return _simhash_fold(col, k, _assemble_simhash)
+def simhash_column(col: Column, k: int = 3, sample: int | None = None) -> Column:
+    """64-bit simhash over character k-gram hashes, all native exprs.
+    ``sample``: optional consistent bottom-k shingle sketch (see
+    ``_simhash_fold``)."""
+    return _simhash_fold(col, k, _assemble_simhash, sample=sample)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -505,6 +533,7 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     max_bucket: int = 64,
+    sample: int | None = 192,
 ) -> DataFrame:
     """Near-dup pairs by simhash: bucket on 4 rotated prefixes, verify
     hamming distance within buckets (standard simhash permutation trick).
@@ -514,6 +543,12 @@ def simhash_dedup_pairs(
     fingerprint are cheap integer ops on the materialised accumulator), so
     each row pays exactly one shingle traversal regardless of rotation count.
 
+    ``sample=192`` (default): long documents fold only their 192 smallest
+    shingle hashes — a consistent bottom-k sketch, so near-duplicates still
+    select near-identical shingle subsets and their majority votes agree;
+    the per-document cost is bounded regardless of document length. Pass
+    ``sample=None`` for exact full-document fingerprints.
+
     Hot buckets (boilerplate-heavy corpora) are capped at ``max_bucket``
     members per (rot, bucket) before the self-join, bounding the worst-case
     join fan-out the same way minhash_candidate_pairs does.
@@ -522,6 +557,7 @@ def simhash_dedup_pairs(
         F.col(text_col),
         3,
         lambda acc: simhash_rotations(_assemble_simhash(acc), 4, prefix_bits),
+        sample=sample,
     )
     all_buckets = (
         _ensure_parallelism(df)

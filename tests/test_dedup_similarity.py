@@ -301,3 +301,28 @@ def test_simhash_chunked_fold_exact_across_chunk_boundary(spark):
     if expected >= 1 << 63:
         expected -= 1 << 64
     assert got == expected
+
+
+def test_simhash_bottomk_sampling_finds_long_near_dups(spark):
+    """With the default bottom-192 consistent sample, LONG near-duplicate
+    documents (shingle count >> sample) still land within the hamming gate,
+    and unrelated long documents stay apart."""
+    from gchq_data_quality_spark.functions.dedup import simhash_dedup_pairs
+
+    import random
+
+    rng = random.Random(7)
+    mk = lambda: "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+    words = [mk() for _ in range(300)]
+    a = " ".join(words)                        # ~2000 chars, >> 192 shingles
+    b = " ".join(words[:150] + ["CHANGED"] + words[151:])  # one-word edit
+    other = " ".join(mk() for _ in range(300))
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs, pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
