@@ -81,3 +81,23 @@ def test_repetition_matches_non_ansi_values(spark, docs):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     assert plain == strict
+
+
+def test_decontamination_under_ansi(ansi, spark):
+    from gchq_data_quality_spark.functions.decontamination import contamination_hits
+
+    probe_text = "the quick brown fox jumps over the lazy dog tonight"
+    probes = spark.createDataFrame([(0, probe_text)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, f"prefix {probe_text} suffix"), (2, "clean unrelated content here about nothing special at all")],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id for r in contamination_hits(docs, probes, n=8).collect()}
+    assert hits == {1}
+
+
+def test_lsh_verified_pairs_under_ansi(ansi, docs):
+    from gchq_data_quality_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).collect()}
+    assert (0, 1) in pairs
