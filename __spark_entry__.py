@@ -5,12 +5,12 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 33 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 34 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup, the full LSH->exact-verify pipeline, n-gram
 decontamination, the keep/drop exactness gate, similarity search, classic
-join/agg plans), 27 paired with ANSI SQL DuckDB oracles over the same
-parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+join/agg plans, corpus n-gram statistics), 28 paired with ANSI SQL DuckDB
+oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -457,6 +457,16 @@ def _q_decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate mining: top-20 word bigrams by document frequency
+    (one explode of per-doc distinct grams -> partial+final hash agg ->
+    TakeOrdered). Oracle computes the same sweep in SQL."""
+    from gchq_data_quality_spark.functions.decontamination import top_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngrams(docs, text_col="text", n=2, top=20)
+
+
 def _q_pipeline_disagreements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows where the pipeline's keep/drop decision disagrees with the
     synthetic table's planted expected_keep label — REQUIRED EMPTY. The
@@ -688,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_exact_pairs": _q_jaccard_exact_pairs,
         "lsh_verified_pairs": _q_lsh_verified_pairs,
         "decontamination_hits": _q_decontamination_hits,
+        "top_bigrams": _q_top_bigrams,
         "numeric_profile": _q_numeric_profile,
         "pipeline_keep_by_defect": _q_pipeline_keep_by_defect,
         "pipeline_disagreements": _q_pipeline_disagreements,
@@ -941,6 +952,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "top_bigrams": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents WHERE text IS NOT NULL
+            ), idx AS (
+                SELECT doc_id, ts,
+                       UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+                FROM toks
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ts[CAST(i AS BIGINT):CAST(i AS BIGINT)+1], ' ') AS g
+                FROM idx
+            )
+            SELECT g AS gram, COUNT(*) AS doc_freq
+            FROM grams GROUP BY g
+            ORDER BY doc_freq DESC, gram LIMIT 20
         """,
         "decontamination_hits": r"""
             WITH toks AS (

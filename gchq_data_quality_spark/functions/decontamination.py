@@ -60,6 +60,52 @@ def word_ngram_ids(col: Column, n: int = 8) -> Column:
     return F.transform(F.array(tokens), _from_tokens)[0]
 
 
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """array<string>: the word n-gram windows themselves (space-joined).
+
+    The string twin of ``word_ngram_ids`` — used where the grams must be
+    human-readable / SQL-comparable (corpus statistics, boilerplate mining)
+    rather than joined at scale. Same tokenisation.
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+    def _from_tokens(arr: Column) -> Column:
+        n_grams = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
+        grams = F.slice(arr, 1, n_grams)
+        for k in range(1, n):
+            shifted = F.slice(arr, k + 1, n_grams)
+            grams = F.zip_with(
+                grams, shifted, lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return grams
+
+    return F.transform(F.array(tokens), _from_tokens)[0]
+
+
+def top_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """(gram, doc_freq): the ``top`` word n-grams by DOCUMENT frequency —
+    the boilerplate-mining sweep (grams appearing in many documents are
+    candidates for the scrub/dedup lists). One explode of per-doc distinct
+    grams, one partial+final hash aggregation, TakeOrdered top-k — no full
+    sort at any scale. Deterministic tie-break on the gram string."""
+    grams = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "gram")
+        .limit(top)
+    )
+
+
 def probe_gram_set(
     probes: DataFrame, text_col: str = "text", n: int = 8
 ) -> DataFrame:

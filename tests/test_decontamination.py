@@ -88,3 +88,30 @@ def test_contamination_plan_broadcasts_probe_side(spark):
     plan = contamination_hits(docs, probes, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # big side must never shuffle for the join
+
+
+def test_word_ngrams_strings(spark):
+    from gchq_data_quality_spark.functions.decontamination import word_ngrams
+
+    df = spark.createDataFrame([(1, "  The quick   brown fox ")], "doc_id long, text string")
+    got = df.select(word_ngrams(F.col("text"), 2).alias("g")).collect()[0].g
+    assert got == ["the quick", "quick brown", "brown fox"]
+
+
+def test_top_ngrams_doc_frequency(spark):
+    from gchq_data_quality_spark.functions.decontamination import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now limited offer"),
+            (2, "buy now while stocks last"),
+            (3, "buy now buy now"),  # repeated within one doc: counts ONCE
+            (4, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(docs, n=2, top=3).collect()
+    assert rows[0].gram == "buy now" and rows[0].doc_freq == 3
+    # deterministic tie-break: same doc_freq ordered by gram string
+    freqs = [r.doc_freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
