@@ -175,3 +175,35 @@ def test_multimodal_feature_plans_are_shuffle_free(spark):
         plan = _plan(frame)
         assert "Exchange" not in plan
         assert plan.count("MapInPandas") == 1
+
+
+def test_top_ngrams_is_take_ordered_not_full_sort(spark):
+    """The boilerplate-mining sweep must plan top-k as TakeOrdered (bounded
+    per-partition heaps) after a partial+final hash aggregation — a global
+    Sort over every distinct gram would shuffle the whole gram universe."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["top_bigrams"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_lsh_verified_pairs_no_cartesian_and_broadcast_free_big_side(spark):
+    """The LSH->verify pipeline must never plan a cartesian product; every
+    join is an equi-join on band/bucket or pair ids."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["lsh_verified_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_query_broadcasts_probe_grams(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["decontamination_hits"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
