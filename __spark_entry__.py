@@ -5,12 +5,15 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 34 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 41 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
-profiling, dedup, the full LSH->exact-verify pipeline, n-gram
-decontamination, the keep/drop exactness gate, similarity search, classic
-join/agg plans, corpus n-gram statistics), 28 paired with ANSI SQL DuckDB
-oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+profiling, dedup + duplicate-cluster components, the full
+LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
+exactness gate, similarity search + IVF cell assignment, as-of and
+bucketed range joins, deterministic stratified sampling, group-wise
+outlier screens, cohort retention, classic join/agg plans, corpus n-gram
+statistics), 35 paired with ANSI SQL DuckDB oracles over the same parquet
+tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -595,6 +598,208 @@ def _q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER structure, not just pairs: connected components
+    over the verified exact-Jaccard >= 0.7 pair graph (min-id label
+    propagation run to convergence), reported as a cluster-size histogram.
+    The DuckDB oracle recomputes the exact pairs and closes them with a
+    recursive CTE — a driver hash-match attests LSH recall, the exact
+    verifier, AND the component labelling in one signal."""
+    from gchq_data_quality_spark.functions.dedup import ngram_jaccard_pairs
+    from gchq_data_quality_spark.functions.relational import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _q_asof_time_since_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (merge-asof / DuckDB ASOF JOIN semantics): attach to every
+    event the timestamp of the same user's most recent STRICTLY-prior
+    'error' event, then report time-since-last-error per event type.
+    Implemented with the union + ordered-window formulation (ONE shuffle on
+    user_id, no join) in functions/relational.py — the plan that survives a
+    100 TB event log where a theta-join would explode per key."""
+    from gchq_data_quality_spark.functions.relational import asof_join
+
+    events = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("ts").alias("err_ts")
+    )
+    joined = asof_join(
+        events.select("user_id", "event_id", "event_type", "ts"),
+        errors,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        value_cols=["err_ts"],
+        strict=True,
+        tiebreak="event_id",
+    )
+    lag_sec = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("err_ts").cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("err_ts").alias("n_with_prior_error"),
+            F.round(F.avg(lag_sec), 4).alias("avg_lag_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_orders_nearby_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range self-join: for each order, how many OTHER orders the
+    same customer placed within +-7 days — via the bucketed range join
+    (equi-join on (customer, 14-day bucket) with <=2 candidate buckets per
+    row, then the exact range filter), never an inequality join."""
+    from gchq_data_quality_spark.functions.relational import bucketed_range_join
+
+    day_us = 86_400_000_000
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od"),
+    )
+    pairs = bucketed_range_join(
+        orders.select("o_custkey", "o_orderkey", "od"),
+        orders.select("o_custkey", "o_orderkey", "od"),
+        by=["o_custkey"],
+        left_point="od",
+        right_point="od",
+        lower=-7 * day_us,
+        upper=7 * day_us,
+    ).filter(F.col("l_o_orderkey") != F.col("r_o_orderkey"))
+    per_order = pairs.groupBy(
+        F.col("l_o_orderkey").alias("o_orderkey")
+    ).agg(F.count(F.lit(1)).alias("n_nearby"))
+    enriched = orders.join(per_order, "o_orderkey", "left").withColumn(
+        "n_nearby", F.coalesce("n_nearby", F.lit(0))
+    )
+    return (
+        enriched.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_nearby").alias("n_nearby_pairs"),
+            F.round(F.avg("n_nearby"), 4).alias("avg_nearby"),
+            F.max("n_nearby").alias("max_nearby"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: membership is a pure-arithmetic
+    hash of doc_id (reproducible across engines/runs/partitionings — the
+    oracle evaluates the IDENTICAL expression), cut at 30% per language
+    stratum. One conditional aggregation pass."""
+    from gchq_data_quality_spark.functions.stats import stratified_sample_flag
+
+    docs = _read(spark, sf_dir, "documents")
+    flag = stratified_sample_flag(F.col("doc_id"), 300)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flag.cast("long")).alias("n_sampled"),
+            F.round(F.avg(F.when(flag, F.col("n_chars"))), 4).alias(
+                "avg_chars_sampled"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score outlier screen on event values: per-type moments
+    (tiny agg) broadcast back onto the data, one conditional re-count —
+    the two-pass plan that scales where a per-group window sort would not."""
+    from gchq_data_quality_spark.functions.stats import groupwise_outlier_counts
+
+    events = _read(spark, sf_dir, "events")
+    return groupwise_outlier_counts(
+        events, ["event_type"], "value", z=3.0
+    ).orderBy("event_type")
+
+
+def _q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse-quantisation step under an EXACT oracle: every vector
+    assigned to the nearest of 8 fixed centroids (vec_id < 8) by cosine —
+    the same greatest-of-structs codegen expression ivf_topk's index uses —
+    reported as per-cell counts + mean assignment cosine. Gives the ANN
+    index's assignment math a driver hash-green signal (its top-k recall is
+    covered separately by tests)."""
+    from gchq_data_quality_spark.functions.similarity import assign_cells
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    assigned = assign_cells(emb, centroids, sim_col="cell_cos").withColumn(
+        # the cell literal is a Python int -> int32; the oracle's vec_id is
+        # int64 and the driver hashes arrow encodings (see module docstring)
+        "cell", F.col("cell").cast("long")
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(F.avg("cell_cos"), 4).alias("avg_cos"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: of the users active in epoch-week w, how many are
+    also active in week w+1. Distinct (week, user) pairs, one self-join on
+    (user, week+1) — both shuffles are on the user key; week boundaries are
+    pure integer arithmetic on epoch micros (engine-portable, unlike
+    locale-dependent ISO-week functions)."""
+    week_us = 7 * 86_400_000_000
+    events = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("event_type") == "purchase")  # rarer signal -> retention < 1
+    )
+    wu = events.select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(week_us)
+        ).alias("week"),
+        "user_id",
+    ).distinct()
+    active = wu.groupBy("week").agg(F.count(F.lit(1)).alias("n_active"))
+    nxt = wu.select((F.col("week") - 1).alias("week"), "user_id")
+    retained = (
+        wu.join(nxt, ["week", "user_id"], "left_semi")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_retained_next"))
+    )
+    return (
+        active.join(retained, "week", "left")
+        .withColumn("n_retained_next", F.coalesce("n_retained_next", F.lit(0)))
+        .withColumn(
+            "retention",
+            F.round(F.col("n_retained_next") / F.col("n_active"), 6),
+        )
+        .orderBy("week")
+    )
+
+
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched WAV decode + feature extraction over a deterministic synthetic
     audio table (mirrors the image pipeline's multimodal plumbing; decode is
@@ -697,6 +902,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_quality_trend": _q_daily_quality_trend,
         "jaccard_exact_pairs": _q_jaccard_exact_pairs,
         "lsh_verified_pairs": _q_lsh_verified_pairs,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "asof_time_since_error": _q_asof_time_since_error,
+        "orders_nearby_window": _q_orders_nearby_window,
+        "stratified_sample_stats": _q_stratified_sample_stats,
+        "value_outliers_by_type": _q_value_outliers_by_type,
+        "ivf_cell_assignment": _q_ivf_cell_assignment,
+        "weekly_retention": _q_weekly_retention,
         "decontamination_hits": _q_decontamination_hits,
         "top_bigrams": _q_top_bigrams,
         "numeric_profile": _q_numeric_profile,
@@ -1019,6 +1231,158 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        # dedup_cluster_sizes: the exact-Jaccard pair graph (same shingle
+        # self-join as lsh_verified_pairs) closed transitively with a
+        # recursive CTE, labelled by component-min id, histogrammed by size.
+        "dedup_cluster_sizes": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id, regexp_replace(LOWER(text), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, norm,
+                       UNNEST(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+                FROM d
+            ), sh AS (
+                SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS sh
+                FROM pos
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+            ), labels AS (
+                SELECT id, LEAST(id, MIN(r)) AS label FROM reach GROUP BY id
+            ), comps AS (
+                SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label
+            )
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   COUNT(*) AS n_clusters
+            FROM comps GROUP BY cluster_size ORDER BY cluster_size
+        """,
+        # asof_time_since_error: backward as-of = running max of prior error
+        # ts in the per-user (ts, event_id) order; "1 PRECEDING" gives the
+        # strict (<) variant. Valid because (user_id, ts) is duplicate-free
+        # in this data (asserted in tests/test_relational.py).
+        "asof_time_since_error": """
+            WITH x AS (
+                SELECT event_type, ts,
+                       MAX(CASE WHEN event_type = 'error' THEN ts END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS err_ts
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT event_type, COUNT(*) AS n_events,
+                   COUNT(err_ts) AS n_with_prior_error,
+                   ROUND(AVG((epoch_us(ts) - epoch_us(err_ts)) / 1000000.0), 4)
+                     AS avg_lag_sec
+            FROM x GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_nearby_window": """
+            WITH nearby AS (
+                SELECT a.o_orderkey AS k, COUNT(*) AS n_nearby
+                FROM orders a JOIN orders b
+                  ON a.o_custkey = b.o_custkey
+                 AND a.o_orderkey <> b.o_orderkey
+                 AND epoch_us(b.o_orderdate)
+                       BETWEEN epoch_us(a.o_orderdate) - 604800000000
+                           AND epoch_us(a.o_orderdate) + 604800000000
+                GROUP BY 1
+            )
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(COALESCE(n_nearby, 0)) AS BIGINT) AS n_nearby_pairs,
+                   ROUND(AVG(COALESCE(n_nearby, 0)), 4) AS avg_nearby,
+                   CAST(MAX(COALESCE(n_nearby, 0)) AS BIGINT) AS max_nearby
+            FROM orders LEFT JOIN nearby ON o_orderkey = k
+            GROUP BY 1 ORDER BY 1
+        """,
+        # stratified_sample_stats: the IDENTICAL sampling hash evaluated in
+        # SQL — membership is a property of the row, not of the engine.
+        "stratified_sample_stats": """
+            WITH f AS (
+                SELECT lang, n_chars,
+                       ((doc_id % 2147483648) * 1103515245 + 12345)
+                         % 2147483647 % 1000 < 300 AS in_sample
+                FROM documents
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sampled,
+                   ROUND(AVG(CASE WHEN in_sample THEN n_chars END), 4)
+                     AS avg_chars_sampled
+            FROM f GROUP BY lang ORDER BY lang
+        """,
+        "value_outliers_by_type": """
+            WITH s AS (
+                SELECT event_type, COUNT(value) AS n, AVG(value) AS m,
+                       STDDEV_SAMP(value) AS sd
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, CAST(MAX(s.n) AS BIGINT) AS n,
+                   ROUND(MAX(s.m), 4) AS mean,
+                   ROUND(MAX(s.sd), 4) AS stddev,
+                   CAST(SUM(CASE WHEN s.sd IS NOT NULL AND s.sd > 0
+                                  AND ABS(e.value - s.m) > 3 * s.sd
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM events e JOIN s USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        # ivf_cell_assignment: argmax cosine over the 8 fixed centroids,
+        # ties toward the larger cell (matches greatest-of-structs).
+        "ivf_cell_assignment": """
+            WITH c AS (
+                SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, c.cell,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              c.centroid) AS cos
+                FROM embeddings e CROSS JOIN c
+            ), ranked AS (
+                SELECT vec_id, cell, cos,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cell DESC) AS rn
+                FROM scored
+            )
+            SELECT cell, COUNT(*) AS n_assigned, ROUND(AVG(cos), 4) AS avg_cos
+            FROM ranked WHERE rn = 1 GROUP BY cell ORDER BY cell
+        """,
+        "weekly_retention": """
+            WITH wu AS (
+                SELECT DISTINCT
+                       CAST(FLOOR(epoch_us(ts) / 604800000000.0) AS BIGINT) AS week,
+                       user_id
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type = 'purchase'
+            ), act AS (
+                SELECT week, COUNT(*) AS n_active FROM wu GROUP BY week
+            ), ret AS (
+                SELECT a.week, COUNT(*) AS n_retained_next
+                FROM wu a JOIN wu b
+                  ON a.user_id = b.user_id AND b.week = a.week + 1
+                GROUP BY a.week
+            )
+            SELECT week, CAST(n_active AS BIGINT) AS n_active,
+                   CAST(COALESCE(n_retained_next, 0) AS BIGINT) AS n_retained_next,
+                   ROUND(CAST(COALESCE(n_retained_next, 0) AS DOUBLE) / n_active, 6)
+                     AS retention
+            FROM act LEFT JOIN ret USING (week) ORDER BY week
         """,
         "daily_quality_trend": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,

@@ -51,6 +51,37 @@ def brute_force_topk(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    sim_col: str | None = None,
+) -> DataFrame:
+    """Add a ``cell`` column = the centroid with the highest cosine to each
+    row's vector (ties broken toward the larger cell id); optionally also
+    the winning cosine as ``sim_col``.
+
+    The centroid table — (cell, centroid array) — is collected (it is tiny
+    by construction: n_cells rows) and inlined as literals, so the argmax is
+    a greatest-of-structs expression that stays inside whole-stage codegen:
+    no join, no shuffle, one map-side pass over the data.
+    """
+    cells = centroids.collect()
+    best = None
+    for row in cells:
+        centroid = F.array(*[F.lit(float(x)) for x in row["centroid"]])
+        sim = cosine_similarity(F.col(vec_col), centroid)
+        candidate = F.struct(sim.alias("sim"), F.lit(row["cell"]).alias("cell"))
+        best = candidate if best is None else F.greatest(best, candidate)
+    out = df.withColumn("cell", best["cell"])
+    if sim_col is not None:
+        # second reference re-evaluates the HOF tree (no CSE on HOF subtrees
+        # — see CLAUDE.md); accepted: the argmax is map-side and n_cells-small,
+        # and the index-build path passes sim_col=None (single reference).
+        out = out.withColumn(sim_col, best["sim"])
+    return out
+
+
 def build_ivf_index(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -72,16 +103,7 @@ def build_ivf_index(
         .withColumn("cell", F.monotonically_increasing_id())
         .select("cell", F.col(vec_col).alias("centroid"))
     )
-    cells = centroids.collect()
-    # assignment: argmax cosine over the (tiny, collected) centroid list,
-    # expressed as a greatest-of struct comparison — stays in codegen.
-    best = None
-    for row in cells:
-        centroid = F.array(*[F.lit(float(x)) for x in row["centroid"]])
-        sim = cosine_similarity(F.col(vec_col), centroid)
-        candidate = F.struct(sim.alias("sim"), F.lit(row["cell"]).alias("cell"))
-        best = candidate if best is None else F.greatest(best, candidate)
-    indexed = df.withColumn("cell", best["cell"])
+    indexed = assign_cells(df, centroids, vec_col)
     return indexed, centroids
 
 

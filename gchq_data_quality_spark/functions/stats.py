@@ -1,0 +1,93 @@
+"""Sampling and group-wise statistical screens for corpus curation.
+
+- ``portable_hash`` / ``stratified_sample_flag``: DETERMINISTIC sampling —
+  a row is in the sample iff a pure-arithmetic hash of its id lands under
+  the cut. Unlike ``df.sample()`` the decision is a property of the row, so
+  it is reproducible across runs/engines (the DuckDB oracle evaluates the
+  identical expression), stable under repartitioning, and consistent across
+  tables keyed by the same id (the standard trick for sampling a document
+  table and its sidecar features table in lockstep). Expressible in plain
+  ANSI SQL on purpose.
+
+- ``groupwise_outlier_counts``: per-group z-score outlier screen in TWO
+  passes: a tiny per-group moments aggregate, broadcast back, then one
+  conditional re-aggregation. The window-function formulation computes the
+  same thing in "one" pass but materialises every group in a single task's
+  sort buffer — with millions of rows per group the broadcast-join plan is
+  the one that survives; the stats side is bounded by the group count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Lehmer/Park-Miller-style LCG over the Mersenne prime 2^31-1. The id is
+# masked to 31 bits BEFORE the multiply: max intermediate (2^31)*1103515245
+# ~ 2.4e18 < 2^63 — overflow-free under ANSI mode by construction (the
+# driver's session defaults to ANSI; see CLAUDE.md invariants).
+_LCG_MUL = 1103515245
+_LCG_ADD = 12345
+_MERSENNE = 2_147_483_647
+
+
+def portable_hash(id_col: Column) -> Column:
+    """31-bit deterministic hash of an integer id, expressible in ANSI SQL:
+    ``((id & (2^31-1)) * 1103515245 + 12345) % (2^31-1)``."""
+    masked = F.pmod(id_col.cast("long"), F.lit(1 << 31))
+    return F.pmod(masked * F.lit(_LCG_MUL) + F.lit(_LCG_ADD), F.lit(_MERSENNE))
+
+
+def stratified_sample_flag(
+    id_col: Column, rate_permille: int
+) -> Column:
+    """Boolean sample membership at ``rate_permille``/1000, deterministic in
+    the id. Applied per stratum it yields proportional stratified sampling
+    (each stratum is cut by the same id-uniform hash)."""
+    return F.pmod(portable_hash(id_col), F.lit(1000)) < F.lit(rate_permille)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, rate_permille: int
+) -> DataFrame:
+    """Filter to the deterministic sample (see stratified_sample_flag)."""
+    return df.filter(stratified_sample_flag(F.col(id_col), rate_permille))
+
+
+def groupwise_outlier_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per group: n, mean, stddev (sample), and how many rows sit more than
+    ``z`` sample standard deviations from the group mean.
+
+    Two-pass plan: per-group moments (tiny — one row per group), broadcast
+    back onto the data, one conditional count. Both passes shuffle on the
+    group key only; no windows, no per-group sort.
+    """
+    group_cols = list(group_cols)
+    v = F.col(value_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(v).alias("__n"),
+        F.avg(v).alias("__mean"),
+        F.stddev_samp(v).alias("__std"),
+    )
+    is_outlier = (
+        F.col("__std").isNotNull()
+        & (F.col("__std") > 0)
+        & (F.abs(v - F.col("__mean")) > F.lit(z) * F.col("__std"))
+    )
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("__n").alias("n"),
+            F.round(F.max("__mean"), 4).alias("mean"),
+            F.round(F.max("__std"), 4).alias("stddev"),
+            F.sum(is_outlier.cast("long")).alias("n_outliers"),
+        )
+    )

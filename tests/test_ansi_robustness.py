@@ -101,3 +101,21 @@ def test_lsh_verified_pairs_under_ansi(ansi, docs):
 
     pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).collect()}
     assert (0, 1) in pairs
+
+
+def test_sampling_hash_and_new_queries_under_ansi(ansi):
+    """The sampling LCG masks ids to 31 bits before the multiply (max
+    intermediate ~2.4e18 < 2^63), and the as-of / range-join / retention
+    arithmetic is epoch-micros bounded — all must run under ANSI unchanged."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "stratified_sample_stats",
+        "asof_time_since_error",
+        "orders_nearby_window",
+        "weekly_retention",
+        "ivf_cell_assignment",
+    ):
+        assert qs[name](ansi, sf).count() > 0, name

@@ -207,3 +207,47 @@ def test_decontamination_query_broadcasts_probe_grams(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_query_has_no_join_operator(spark):
+    """The as-of query must plan as union + window (one data shuffle on
+    user_id) + the final per-type aggregation — NEVER a join (the theta-join
+    formulation explodes per key at scale)."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["asof_time_since_error"](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2  # window + final agg
+
+
+def test_range_join_query_is_equi_join(spark):
+    """The bucketed range join must plan as a hash/sort-merge EQUI-join on
+    (custkey, bucket) — never a cartesian or nested-loop inequality join."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["orders_nearby_window"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_outlier_query_broadcasts_moments(spark):
+    """The per-group moments table (one row per group) must broadcast back
+    onto the data — a sort-merge join here would shuffle the whole table."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["value_outliers_by_type"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cell_assignment_is_map_side(spark):
+    """assign_cells inlines the centroids as literals: the assignment itself
+    must add NO join and NO shuffle — the only exchange is the final
+    per-cell aggregation's."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["ivf_cell_assignment"](spark, SF))
+    assert "Join" not in plan, plan
+    # one hash exchange (the per-cell agg); the rangepartitioning exchange
+    # is the final orderBy over the 8-row result
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -1,0 +1,221 @@
+"""as-of join, bucketed range join, connected components (functions/relational.py),
+and the sampling/outlier screens (functions/stats.py).
+
+The as-of and range joins are checked against brute-force formulations (a
+pandas merge_asof-style scan and a naive theta-join) on hand-built and
+randomized inputs — same differential strategy the dedup operators use.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gchq_data_quality_spark.functions.relational import (
+    asof_join,
+    bucketed_range_join,
+    connected_components,
+)
+from gchq_data_quality_spark.functions.stats import (
+    groupwise_outlier_counts,
+    portable_hash,
+    stratified_sample,
+)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+def _asof_expected(left_rows, right_rows, strict):
+    """Brute-force backward as-of: latest right ts <= (or <) left ts per key."""
+    out = {}
+    for key, lts, lid in left_rows:
+        best = None
+        for rkey, rts, rval in right_rows:
+            if rkey != key:
+                continue
+            if (rts < lts) if strict else (rts <= lts):
+                if best is None or rts > best[0]:
+                    best = (rts, rval)
+        out[lid] = best[1] if best else None
+    return out
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_join_matches_bruteforce(spark, strict):
+    rng = random.Random(42)
+    left_rows = [(k, rng.randint(0, 100), i) for i, k in enumerate(
+        rng.choices(["a", "b", "c"], k=40)
+    )]
+    right_rows = [(k, rng.randint(0, 100), f"v{j}") for j, k in enumerate(
+        rng.choices(["a", "b", "c"], k=25)
+    )]
+    # de-dup right timestamps per key: at equal (key, ts) which right row wins
+    # is unspecified (documented), so keep the differential test deterministic
+    seen = set()
+    right_rows = [
+        r for r in right_rows
+        if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    left = spark.createDataFrame(left_rows, "key string, ts long, lid long")
+    right = spark.createDataFrame(right_rows, "key string, ts long, val string")
+    got = asof_join(
+        left, right, by=["key"], left_on="ts", right_on="ts",
+        value_cols=["val"], strict=strict, tiebreak="lid",
+    )
+    got_map = {r["lid"]: r["val"] for r in got.collect()}
+    assert got_map == _asof_expected(left_rows, right_rows, strict)
+
+
+def test_asof_join_null_right_value_still_matches(spark):
+    # a right row whose VALUE is NULL must still win over an older non-null
+    # one (the struct payload makes the row itself visible to last/ignorenulls)
+    left = spark.createDataFrame([("k", 10, 1)], "key string, ts long, lid long")
+    right = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 5, None)], "key string, ts long, val string"
+    )
+    [row] = asof_join(
+        left, right, by=["key"], left_on="ts", right_on="ts", value_cols=["val"]
+    ).collect()
+    assert row["val"] is None
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    left = spark.createDataFrame([("k", 5, 1)], "key string, ts long, lid long")
+    right = spark.createDataFrame([("k", 5, "x")], "key string, ts long, val string")
+    non_strict = asof_join(
+        left, right, by=["key"], left_on="ts", right_on="ts", value_cols=["val"]
+    ).collect()
+    strict = asof_join(
+        left, right, by=["key"], left_on="ts", right_on="ts",
+        value_cols=["val"], strict=True,
+    ).collect()
+    assert non_strict[0]["val"] == "x"
+    assert strict[0]["val"] is None
+
+
+def test_asof_join_single_shuffle(spark):
+    left = spark.createDataFrame([("k", 5, 1)], "key string, ts long, lid long")
+    right = spark.createDataFrame([("k", 5, "x")], "key string, ts long, val string")
+    plan = asof_join(
+        left, right, by=["key"], left_on="ts", right_on="ts", value_cols=["val"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # union + window: exactly one hash-partitioning exchange, no join operator
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# bucketed_range_join
+# ---------------------------------------------------------------------------
+
+def test_bucketed_range_join_matches_naive(spark):
+    rng = random.Random(7)
+    rows = [(rng.choice(["a", "b"]), rng.randint(0, 500), i) for i in range(80)]
+    df = spark.createDataFrame(rows, "key string, p long, rid long")
+    lower, upper = -30, 70
+    got = bucketed_range_join(
+        df, df, by=["key"], left_point="p", right_point="p",
+        lower=lower, upper=upper,
+    )
+    got_pairs = {
+        (r["l_rid"], r["r_rid"]) for r in got.collect()
+    }
+    expected = {
+        (l[2], r[2])
+        for l in rows for r in rows
+        if l[0] == r[0] and l[1] + lower <= r[1] <= l[1] + upper
+    }
+    assert got_pairs == expected
+
+
+def test_bucketed_range_join_no_duplicate_pairs(spark):
+    # a right point can fall in both candidate buckets' windows only once:
+    # the left side's bucket explosion is array_distinct'ed
+    df = spark.createDataFrame(
+        [("k", 0, 0), ("k", 10, 1)], "key string, p long, rid long"
+    )
+    got = bucketed_range_join(
+        df, df, by=["key"], left_point="p", right_point="p", lower=-10, upper=10
+    ).collect()
+    pairs = [(r["l_rid"], r["r_rid"]) for r in got]
+    assert len(pairs) == len(set(pairs)) == 4
+
+
+def test_bucketed_range_join_is_equi_join(spark):
+    df = spark.createDataFrame([("k", 0, 0)], "key string, p long, rid long")
+    plan = bucketed_range_join(
+        df, df, by=["key"], left_point="p", right_point="p", lower=-5, upper=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# connected_components
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4-5 (diameter 4 > minhash_dedup's default 3 hops),
+    # clique {10,11,12}, isolated pair {20,21}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# stats: deterministic sampling + outlier screen
+# ---------------------------------------------------------------------------
+
+def test_portable_hash_matches_python(spark):
+    ids = [0, 1, 7, 999, 123456, 2**40 + 3]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", portable_hash(F.col("id")).alias("h")).collect()
+    }
+    for i in ids:
+        assert got[i] == ((i % 2**31) * 1103515245 + 12345) % 2147483647
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(20_000)], "id long")
+    s1 = sorted(r["id"] for r in stratified_sample(df, "id", 300).collect())
+    s2 = sorted(
+        r["id"]
+        for r in stratified_sample(df.repartition(13), "id", 300).collect()
+    )
+    assert s1 == s2  # partitioning-independent membership
+    assert abs(len(s1) / 20_000 - 0.3) < 0.02
+
+
+def test_groupwise_outlier_counts_matches_numpy(spark):
+    import numpy as np
+
+    rng = random.Random(3)
+    rows = [("g" + str(i % 3), rng.gauss(10 * (i % 3), 1 + i % 3)) for i in range(900)]
+    rows += [("g0", 1000.0), ("g1", -1000.0)]  # planted outliers
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in groupwise_outlier_counts(df, ["g"], "v").collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        arr = np.array(vals)
+        m, sd = arr.mean(), arr.std(ddof=1)
+        expected = int((np.abs(arr - m) > 3 * sd).sum())
+        assert got[g]["n_outliers"] == expected, g
+        assert got[g]["n"] == len(vals)
+    assert got["g0"]["n_outliers"] >= 1 and got["g1"]["n_outliers"] >= 1
