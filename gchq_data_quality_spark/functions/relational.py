@@ -39,20 +39,27 @@ def asof_join(
     value_cols: Sequence[str],
     strict: bool = False,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the latest right row of
-    the same ``by`` key with ``right_on <= left_on`` (``<`` when ``strict``).
+    the same ``by`` key with ``right_on <= left_on`` (``<`` when ``strict``)
+    — or, with ``direction='forward'``, the EARLIEST right row with
+    ``right_on >= left_on`` (``>`` when ``strict``).
 
     Returns all left columns plus one ``value_col`` each (NULL when no right
-    row qualifies) — semantics of pandas ``merge_asof(direction='backward',
+    row qualifies) — semantics of pandas ``merge_asof(direction=...,
     allow_exact_matches=not strict)``.
 
     Plan shape: tag the two inputs, union, ONE window sorted by
-    (ts, side, tiebreak) within each ``by`` partition, carry the most recent
-    right payload forward with last(ignorenulls), keep the left rows. The
-    right payload rides in a struct so legitimately-NULL right values are
-    still "seen" (the struct itself is non-null for right rows).
+    (ts, side, tiebreak) within each ``by`` partition — descending ts for
+    the forward direction, so "the nearest qualifying right row" is always
+    the most recent payload in sort order — carry it with
+    last(ignorenulls), keep the left rows. The right payload rides in a
+    struct so legitimately-NULL right values are still "seen" (the struct
+    itself is non-null for right rows).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     by = list(by)
     value_cols = list(value_cols)
     # strict: right rows at ts == left ts must sort AFTER the left row so the
@@ -77,7 +84,8 @@ def asof_join(
         payload,
         F.lit(None).cast(lpart.schema["__lrow"].dataType).alias("__lrow"),
     )
-    order = [F.col("__ts"), F.col("__side")]
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    order = [ts_order, F.col("__side")]
     if tiebreak is not None:
         # deterministic total order when several rows share a timestamp
         order.append(F.col("__lrow").getField(tiebreak))
@@ -164,9 +172,15 @@ def connected_components(
     count, and each round's result is localCheckpoint-ed so lineage (and
     recomputation) stays O(1) per round.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # materialise the edge list ONCE: every iteration joins it, and without
+    # the checkpoint each round would re-run the whole upstream pipeline
+    # that produced the pairs (e.g. LSH + exact verification — measured 3x
+    # the total query cost at sf0.1)
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

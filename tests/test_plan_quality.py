@@ -240,6 +240,45 @@ def test_outlier_query_broadcasts_moments(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_lsh_pair_generation_runs_fold_once(spark):
+    """The bucketed pair generators must NOT self-join: the old join shape
+    recomputed the signature fold on each side (no ReusedExchange across
+    join lineages). The plan must show exactly ONE fold/explode lineage —
+    one Generate for the bucket explode, one for the pair expansion — and
+    the groupBy must ride the window's partitioning (no exchange between
+    them)."""
+    from gchq_data_quality_spark.functions.dedup import (
+        minhash_candidate_pairs,
+        simhash_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with some shared words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for pairs in (
+        minhash_candidate_pairs(docs, "text", "doc_id", n_hashes=8, bands=2),
+        simhash_dedup_pairs(docs, "text", "doc_id"),
+    ):
+        plan = _plan(pairs)
+        assert "Join" not in plan, plan
+        assert plan.count("Generate") == 2, plan  # bucket explode + pair explode
+        # shuffles: repartition (parallelism), (band/rot, bucket), distinct
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_anti_join_query_shape(spark):
+    """customers_without_orders must plan the lapsed screen as a broadcast
+    anti-join fed by an aggregated (distinct) custkey set, with the recency
+    filter pushed to the orders scan."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["customers_without_orders"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan, plan
+
+
 def test_cell_assignment_is_map_side(spark):
     """assign_cells inlines the centroids as literals: the assignment itself
     must add NO join and NO shuffle — the only exchange is the final

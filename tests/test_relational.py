@@ -70,6 +70,45 @@ def test_asof_join_matches_bruteforce(spark, strict):
     assert got_map == _asof_expected(left_rows, right_rows, strict)
 
 
+def _asof_expected_forward(left_rows, right_rows, strict):
+    """Brute-force forward as-of: earliest right ts >= (or >) left ts."""
+    out = {}
+    for key, lts, lid in left_rows:
+        best = None
+        for rkey, rts, rval in right_rows:
+            if rkey != key:
+                continue
+            if (rts > lts) if strict else (rts >= lts):
+                if best is None or rts < best[0]:
+                    best = (rts, rval)
+        out[lid] = best[1] if best else None
+    return out
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_join_forward_matches_bruteforce(spark, strict):
+    rng = random.Random(11)
+    left_rows = [(k, rng.randint(0, 100), i) for i, k in enumerate(
+        rng.choices(["a", "b"], k=30)
+    )]
+    right_rows = [(k, rng.randint(0, 100), f"v{j}") for j, k in enumerate(
+        rng.choices(["a", "b"], k=20)
+    )]
+    seen = set()
+    right_rows = [
+        r for r in right_rows
+        if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    left = spark.createDataFrame(left_rows, "key string, ts long, lid long")
+    right = spark.createDataFrame(right_rows, "key string, ts long, val string")
+    got = asof_join(
+        left, right, by=["key"], left_on="ts", right_on="ts",
+        value_cols=["val"], strict=strict, direction="forward",
+    )
+    got_map = {r["lid"]: r["val"] for r in got.collect()}
+    assert got_map == _asof_expected_forward(left_rows, right_rows, strict)
+
+
 def test_asof_join_null_right_value_still_matches(spark):
     # a right row whose VALUE is NULL must still win over an older non-null
     # one (the struct payload makes the row itself visible to last/ignorenulls)
