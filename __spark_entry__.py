@@ -5,15 +5,16 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 42 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 44 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup + duplicate-cluster components, the full
 LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
 exactness gate, similarity search + IVF cell assignment, as-of and
 bucketed range joins, deterministic stratified sampling, group-wise
-outlier screens, cohort retention, anti-join lapsed-customer screens,
-classic join/agg plans, corpus n-gram statistics), 36 paired with ANSI SQL
-DuckDB oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+outlier screens, per-group exact percentiles, cohort retention, anti-join
+lapsed-customer screens, perceptual image near-dup, classic join/agg plans,
+corpus n-gram statistics), 37 paired with ANSI SQL DuckDB oracles over the
+same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -764,6 +765,25 @@ def _q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT interpolated percentiles (the latency-dashboard
+    shape): one aggregation pass, three quantiles per event type. At scale
+    the exact sort-based percentile is the oracle baseline; approx_percentile
+    is the knob when the per-group sort no longer fits."""
+    events = _read(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(v).alias("n"),
+            F.round(F.percentile(v, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(v, F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile(v, F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join coverage: per market segment, how many customers are LAPSED
     (no order since 2000-01-01 — the dead-account shape). The recency
@@ -890,6 +910,45 @@ def _q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: batched PPM decode -> 64-bit
+    aHash (mapInPandas) -> the same rotation-bucket LSH + hamming verify the
+    text simhash path uses (dedup.fingerprint_pairs). Planted: every 7th
+    image is a noise-corrupted copy of its predecessor; distinct images are
+    independent noise fields. Binary decode is not SQL-expressible ->
+    rows-only check."""
+    import numpy as np
+
+    from gchq_data_quality_spark.functions.dedup import fingerprint_pairs
+    from gchq_data_quality_spark.functions.images import encode_ppm, with_image_ahash
+
+    rows = []
+    prev = None
+    for i in range(120):
+        rng = np.random.default_rng(i)
+        if i % 7 == 1 and prev is not None:
+            img = prev.copy()
+            noise_at = rng.integers(0, img.shape[0], size=4)
+            img[noise_at, 0, :] = 255 - img[noise_at, 0, :]
+        else:
+            img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        prev = img
+        rows.append((f"img{i:04d}", encode_ppm(img), "ppm"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    hashed = with_image_ahash(df).filter(F.col("decode_ok"))
+    pairs = fingerprint_pairs(hashed, "ahash", "image_id", max_hamming=8)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("hamming").alias("max_hamming"),
+        F.sum(
+            (
+                F.substring("id_a", 4, 4).cast("int") + 1
+                == F.substring("id_b", 4, 4).cast("int")
+            ).cast("long")
+        ).alias("n_planted_found"),
+    )
+
+
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gchq_data_quality_spark.functions.dedup import minhash_candidate_pairs
 
@@ -940,6 +999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_assignment": _q_ivf_cell_assignment,
         "customers_without_orders": _q_customers_without_orders,
         "weekly_retention": _q_weekly_retention,
+        "value_percentiles_by_type": _q_value_percentiles_by_type,
+        "image_neardup_pairs": _q_image_neardup_pairs,
         "decontamination_hits": _q_decontamination_hits,
         "top_bigrams": _q_top_bigrams,
         "numeric_profile": _q_numeric_profile,
@@ -1392,6 +1453,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cell, COUNT(*) AS n_assigned, ROUND(AVG(cos), 4) AS avg_cos
             FROM ranked WHERE rn = 1 GROUP BY cell ORDER BY cell
+        """,
+        "value_percentiles_by_type": """
+            SELECT event_type, COUNT(value) AS n,
+                   ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50,
+                   ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95,
+                   ROUND(QUANTILE_CONT(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "customers_without_orders": """
             WITH missing AS (

@@ -589,17 +589,26 @@ def simhash_dedup_pairs(
             F.col("rb.bucket").alias("bucket"),
         )
     )
+    return _capped_hamming_pairs(all_buckets, max_bucket, max_hamming)
+
+
+def _capped_hamming_pairs(
+    buckets: DataFrame, max_bucket: int, max_hamming: int
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs from a (id, sim, rot, bucket) frame.
+
+    Within-bucket pairs without a self-join (see minhash_candidate_pairs:
+    the join's two lineages each recompute the fingerprint expression — for
+    simhash that is the single most expensive expression in the repo, and
+    eliminating the second evaluation + the join exchange halved the
+    query). groupBy on the window's partitioning keys adds no shuffle;
+    member structs sort by id (unique first field), the hamming check
+    runs inside the pair-expansion lambda so only verified pairs explode.
+    """
     w = Window.partitionBy("rot", "bucket").orderBy("id")
-    capped = all_buckets.withColumn("__rn", F.row_number().over(w)).filter(
+    capped = buckets.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= max_bucket
     )
-    # within-bucket pairs without a self-join (see minhash_candidate_pairs:
-    # the join's two lineages each recompute the fingerprint fold — for
-    # simhash that is the single most expensive expression in the repo, and
-    # eliminating the second evaluation + the join exchange halved the
-    # query). groupBy on the window's partitioning keys adds no shuffle;
-    # member structs sort by id (unique first field), the hamming check
-    # runs inside the pair-expansion lambda so only verified pairs explode.
     members = capped.groupBy("rot", "bucket").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("id"), F.col("sim")))
@@ -627,6 +636,38 @@ def simhash_dedup_pairs(
         .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
     )
+
+
+def fingerprint_pairs(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup pairs for an EXISTING 64-bit fingerprint column (perceptual
+    image hashes, pre-computed simhashes, any hamming-comparable long):
+    the same rotation-bucket LSH + capped within-bucket verification the
+    text simhash path uses, minus the shingle fold.
+
+    A pair at hamming distance d survives if some rotation aligns
+    ``prefix_bits`` matching bits — with 4 rotations of 16 bits, any pair
+    with all its differing bits outside one 16-bit quadrant collides; the
+    within-bucket hamming check then verifies exactly.
+    """
+    buckets = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            simhash_rotations(F.col(fp_col), 4, prefix_bits)
+        ).alias("rb"),
+    ).select(
+        "id",
+        F.col("rb.sim").alias("sim"),
+        F.col("rb.rot").alias("rot"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    return _capped_hamming_pairs(buckets, max_bucket, max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -156,6 +156,64 @@ def resize_images(
     )
 
 
+def average_hash(pixels: np.ndarray) -> int:
+    """64-bit perceptual aHash: 8x8 nearest-neighbour downscale of the
+    grayscale image, one bit per cell = (cell >= mean). Robust to resizing
+    and small noise; near-duplicate images differ in a few bits (compare
+    with hamming distance). Returned as a SIGNED 64-bit int so it round-
+    trips a Spark LongType column exactly."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    rows = (np.arange(8) * h // 8).astype(np.int64)
+    cols = (np.arange(8) * w // 8).astype(np.int64)
+    small = gray[rows][:, cols]
+    bits = (small >= small.mean()).flatten()
+    value = 0
+    for b in bits:
+        value = (value << 1) | int(b)
+    # two's-complement into int64 range
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+IMAGE_AHASH_SCHEMA = "image_id string, ahash long, decode_ok boolean"
+
+
+def with_image_ahash(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """(image_id, ahash, decode_ok) via batched mapInPandas decode.
+
+    Feed the result to ``dedup.fingerprint_pairs`` for perceptual near-dup
+    pairs — the image-modality analogue of text simhash, sharing its
+    rotation-bucket LSH verification stage. Undecodable rows get NULL
+    ahash / decode_ok=false, never a task failure.
+    """
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            hashes = np.zeros(n, dtype=object)
+            ok = np.zeros(n, dtype=bool)
+            for i, (raw, fmt) in enumerate(
+                zip(pdf[bytes_col], pdf[fmt_col], strict=True)
+            ):
+                try:
+                    img = decode_image(bytes(raw), fmt)
+                except (NotImplementedError, ValueError):
+                    hashes[i] = None
+                    continue
+                hashes[i] = average_hash(img)
+                ok[i] = True
+            yield pd.DataFrame(
+                {"image_id": pdf[id_col], "ahash": hashes, "decode_ok": ok}
+            )
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
+        _hashes, schema=IMAGE_AHASH_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-side feature extraction (mapInPandas, Arrow batches)
 # ---------------------------------------------------------------------------

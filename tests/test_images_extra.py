@@ -71,3 +71,66 @@ def test_ppm_encode_decode_roundtrip_sizes():
     for w, h in [(1, 1), (16, 24), (33, 7)]:
         img = np.arange(w * h * 3, dtype=np.uint64).astype(np.uint8).reshape(h, w, 3)
         assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (aHash) + fingerprint near-dup pairs
+# ---------------------------------------------------------------------------
+
+def test_average_hash_invariances():
+    from gchq_data_quality_spark.functions.images import average_hash
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    h = average_hash(img)
+    assert -(1 << 63) <= h < (1 << 63)  # fits LongType
+    # resize-invariant up to a few bits (same 8x8 cells sampled)
+    from gchq_data_quality_spark.functions.images import resize_nearest
+
+    small = resize_nearest(img, 32, 24)
+    dh = bin((h ^ average_hash(small)) & ((1 << 64) - 1)).count("1")
+    assert dh <= 8
+    # a different image is far away
+    other = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    dist = bin((h ^ average_hash(other)) & ((1 << 64) - 1)).count("1")
+    assert dist > 16
+
+
+def test_image_fingerprint_pairs_finds_planted_neardups(spark):
+    from gchq_data_quality_spark.functions.dedup import fingerprint_pairs
+    from gchq_data_quality_spark.functions.images import encode_ppm, with_image_ahash
+
+    rows = []
+    for i in range(30):
+        rng = np.random.default_rng(100 + i)
+        img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        rows.append((f"a{i:03d}", encode_ppm(img), "ppm"))
+        if i < 3:  # planted noisy copies of the first three
+            noisy = img.copy()
+            noisy[0, 0, :] = 255 - noisy[0, 0, :]
+            rows.append((f"b{i:03d}", encode_ppm(noisy), "ppm"))
+    rows.append(("corrupt", b"not a ppm", "ppm"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    hashed = with_image_ahash(df)
+    assert hashed.filter(~hashed.decode_ok).count() == 1  # corrupt row flagged
+    pairs = fingerprint_pairs(
+        hashed.filter(hashed.decode_ok), "ahash", "image_id", max_hamming=6
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(3):
+        assert (f"a{i:03d}", f"b{i:03d}") in got
+    # no pair between independent images
+    assert all(a[1:] != b[1:] for a, b in got if a[0] == "a" and b[0] == "a")
+
+
+def test_fingerprint_pairs_plan_has_no_join(spark):
+    from gchq_data_quality_spark.functions.dedup import fingerprint_pairs
+
+    df = spark.createDataFrame(
+        [(i, i * 1234567) for i in range(10)], "id long, fp long"
+    )
+    plan = (
+        fingerprint_pairs(df, "fp", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
