@@ -52,6 +52,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--allowed-langs", default="")
     p.add_argument("--keep-only", action="store_true",
                    help="write only keep=true rows (default writes all + flags)")
+    p.add_argument("--dedup", choices=["off", "exact"], default="off",
+                   help="exact: drop duplicate captions (normalised-fingerprint "
+                        "equality, min image_id wins). Buckets are keyed by the "
+                        "caption fingerprint so identical captions co-locate — "
+                        "bucket-local dedup IS global dedup, and resume "
+                        "semantics are preserved. Near-dup (minhash/simhash) "
+                        "needs a global pair pass: run functions/dedup."
+                        "minhash_dedup as a preprocessing job instead")
     return p.parse_args(argv)
 
 
@@ -120,6 +128,25 @@ def main(argv: list[str] | None = None) -> None:
     )
     pipe = QualityFilterPipeline(config, langid_model, ppl_model)
 
+    # --dedup exact: key the checkpoint buckets by the caption fingerprint
+    # instead of the row id. bucket = pmod(xxhash64(key), n) is a pure
+    # function of the caption, so every copy of a caption lands in ONE
+    # bucket and the per-bucket min-id filter below is a GLOBAL exact dedup
+    # — no cross-bucket pass, no shared state, resume-safe (a re-run of any
+    # bucket reproduces the same keeper).
+    key_col = config.id_col
+    dedup_fp_col = None
+    if args.dedup == "exact":
+        from pyspark.sql import functions as F
+
+        from gchq_data_quality_spark.functions.text import fingerprint
+
+        dedup_fp_col = "dq_caption_fp"
+        df = df.withColumn(
+            dedup_fp_col, fingerprint(F.col(config.caption_col))
+        )
+        key_col = dedup_fp_col
+
     # --keep-only drops failing rows from the output, so the audit CANNOT be
     # computed from the written files (pass_rate would read ~1.0 and measure
     # nothing). Instead each batch's pre-filter flags are aggregated PER
@@ -133,8 +160,25 @@ def main(argv: list[str] | None = None) -> None:
 
     prefilter_by_bucket: dict[str, dict[str, int]] = {}
     caches: list = []
+    dedup_stats = {"duplicates_dropped": 0}
 
     def transform(part):
+        if dedup_fp_col is not None:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(dedup_fp_col).orderBy(config.id_col)
+            ranked = part.withColumn("__dq_dup_rn", F.row_number().over(w))
+            # one cheap extra pass (fingerprint + window over THIS batch's
+            # buckets only) buys an exact duplicates-dropped count for the
+            # run summary; scoring has not run yet at this point
+            dedup_stats["duplicates_dropped"] += ranked.filter(
+                F.col("__dq_dup_rn") > 1
+            ).count()
+            part = (
+                ranked.filter(F.col("__dq_dup_rn") == 1)
+                .drop("__dq_dup_rn", dedup_fp_col)
+            )
         out = pipe.annotate(part)
         if args.keep_only:
             out = out.persist()
@@ -153,12 +197,14 @@ def main(argv: list[str] | None = None) -> None:
         df,
         output_path=args.output,
         manifest_path=args.manifest,
-        key_col=config.id_col,
+        key_col=key_col,
         transform=transform,
         n_buckets=args.n_buckets,
         buckets_per_batch=args.buckets_per_batch,
         resume=args.resume,
     )
+    if dedup_fp_col is not None:
+        summary["duplicates_dropped"] = dedup_stats["duplicates_dropped"]
     elapsed = time.time() - t0
     for cached in caches:
         cached.unpersist(blocking=False)
@@ -201,4 +247,12 @@ def main(argv: list[str] | None = None) -> None:
 
 
 if __name__ == "__main__":
+    try:
+        import gchq_data_quality_spark  # noqa: F401
+    except ModuleNotFoundError:
+        # direct `python jobs/quality_filter_job.py` puts jobs/ (not the
+        # repo root) on sys.path; on a cluster --py-files provides the zip
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     main()

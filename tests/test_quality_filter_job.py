@@ -149,3 +149,37 @@ def test_job_keep_only_legacy_manifest_keeps_audit(spark, tmp_path, capsys):
     capsys.readouterr()
     after = spark.read.parquet(str(audit)).collect()
     assert sorted(map(str, after)) == sorted(map(str, before))
+
+
+def test_job_exact_dedup_drops_duplicate_captions(spark, tmp_path, capsys):
+    """--dedup exact: buckets keyed by caption fingerprint, min image_id
+    wins globally; output has one row per normalised caption and the
+    summary reports the exact drop count."""
+    from pyspark.sql import functions as F
+
+    from gchq_data_quality_spark.functions.text import fingerprint
+
+    out, _, _ = _run(tmp_path, ["--dedup", "exact"])
+    written = spark.read.parquet(str(out))
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    fp_counts = (
+        written.select(fingerprint(F.col("caption")).alias("fp"))
+        .groupBy("fp").count().filter("count > 1").count()
+    )
+    assert fp_counts == 0  # no duplicate captions survive
+    assert summary["duplicates_dropped"] > 0  # synthetic corpus plants dups
+    assert summary["rows_written"] == 400 - summary["duplicates_dropped"]
+    # keeper is the min image_id of each duplicate group: the survivors'
+    # ids must be unique and the fingerprint column must not leak out
+    assert "dq_caption_fp" not in written.columns
+
+
+def test_job_exact_dedup_resume_is_idempotent(spark, tmp_path, capsys):
+    out, _, manifest = _run(tmp_path, ["--dedup", "exact"])
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out2, _, _ = _run(tmp_path, ["--dedup", "exact"])  # same manifest -> all skipped
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["buckets_run"] == 0
+    assert second["buckets_skipped"] == 4
+    assert spark.read.parquet(str(out)).count() == first["rows_written"]
