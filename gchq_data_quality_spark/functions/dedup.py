@@ -265,10 +265,23 @@ def minhash_candidate_pairs(
     """
     if ensure_parallel:
         df = _ensure_parallelism(df)
-    banded = df.select(
+    shingled = df.select(
         F.col(id_col).alias("id"),
+        _hashed_shingles(F.col(text_col), k).alias("sh"),
+    )
+    return _candidates_from_shingled(shingled, n_hashes, bands, max_bucket)
+
+
+def _candidates_from_shingled(
+    shingled: DataFrame, n_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """LSH candidate pairs from a pre-shingled (id, sh: array<long>) frame —
+    lets ngram_jaccard_pairs hash shingles ONCE and share the materialised
+    frame between the signature fold and the verification joins."""
+    banded = shingled.select(
+        "id",
         F.explode(
-            _minhash_band_buckets(_hashed_shingles(F.col(text_col), k), n_hashes, bands)
+            _minhash_band_buckets(F.col("sh"), n_hashes, bands)
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
@@ -309,7 +322,10 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.7,
     k: int = 5,
-    **lsh_kwargs,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 64,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """Exact character-k-gram Jaccard over LSH candidates (verify stage).
 
@@ -321,14 +337,23 @@ def ngram_jaccard_pairs(
     doc), so |A∩B| and |A∪B| are identical to the string formulation while
     the per-candidate set intersection compares 8-byte longs instead of
     hashing short strings — measured ~2x on the verify stage.
+
+    ``materialize_shingles``: localCheckpoint the (id, hashed-shingles)
+    frame so shingling+hashing runs ONCE instead of three times (Catalyst
+    reuses no subtree across the candidate lineage and the two verification
+    join sides). Measured a NET LOSS on this sandbox (interleaved min-of-3
+    at sf0.1: 4.3 s materialised vs 3.7 s lazy — the checkpoint
+    serialisation costs more than two recomputes of the hashing, which is
+    pure codegen'd CPU), so the default stays False; the knob exists for
+    clusters where the trade flips (slow CPU, fast local disk).
     """
     base = _ensure_parallelism(df)
-    candidates = minhash_candidate_pairs(
-        base, text_col, id_col, k=k, ensure_parallel=False, **lsh_kwargs
-    )
     shingled = base.select(
         F.col(id_col).alias("id"), _hashed_shingles(F.col(text_col), k).alias("sh")
     )
+    if materialize_shingles:
+        shingled = shingled.localCheckpoint()
+    candidates = _candidates_from_shingled(shingled, n_hashes, bands, max_bucket)
     a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
