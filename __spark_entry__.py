@@ -5,16 +5,16 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 44 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 45 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup + duplicate-cluster components, the full
 LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
 exactness gate, similarity search + IVF cell assignment, as-of and
 bucketed range joins, deterministic stratified sampling, group-wise
-outlier screens, per-group exact percentiles, cohort retention, anti-join
-lapsed-customer screens, perceptual image near-dup, classic join/agg plans,
-corpus n-gram statistics), 37 paired with ANSI SQL DuckDB oracles over the
-same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+outlier screens, per-group exact percentiles, token-window document
+chunking, cohort retention, anti-join lapsed-customer screens, perceptual
+image near-dup, classic join/agg plans, corpus n-gram statistics), 38
+paired with ANSI SQL DuckDB oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -765,6 +765,28 @@ def _q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (64-token windows, 16-token overlap) —
+    the long-document -> training-sample splitter — aggregated per language.
+    total_chunk_chars sums LENGTH(chunk_text), so the oracle match attests
+    the reassembled chunk text itself, not just the window arithmetic."""
+    from gchq_data_quality_spark.functions.text import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", max_tokens=64, overlap=16)
+    return (
+        chunks.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_chunk_tokens"),
+            F.sum(F.length("chunk_text").cast("long")).alias("total_chunk_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group EXACT interpolated percentiles (the latency-dashboard
     shape): one aggregation pass, three quantiles per event type. At scale
@@ -1000,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "weekly_retention": _q_weekly_retention,
         "value_percentiles_by_type": _q_value_percentiles_by_type,
+        "document_chunks": _q_document_chunks,
         "image_neardup_pairs": _q_image_neardup_pairs,
         "decontamination_hits": _q_decontamination_hits,
         "top_bigrams": _q_top_bigrams,
@@ -1453,6 +1476,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cell, COUNT(*) AS n_assigned, ROUND(AVG(cos), 4) AS avg_cos
             FROM ranked WHERE rn = 1 GROUP BY cell ORDER BY cell
+        """,
+        # document_chunks: 64-token windows, stride 48 (overlap 16); chunk
+        # text via 1-based inclusive list slice == Spark's slice(start, len).
+        "document_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents WHERE text IS NOT NULL
+            ), starts AS (
+                SELECT doc_id, lang, ts,
+                       UNNEST(generate_series(0, greatest(len(ts) - 1, 0), 48)) AS s
+                FROM toks
+            ), chunks AS (
+                SELECT lang,
+                       LEAST(64, len(ts) - s) AS n_tok,
+                       LENGTH(array_to_string(
+                           ts[CAST(s + 1 AS BIGINT):CAST(s + 64 AS BIGINT)], ' '
+                       )) AS n_chars
+                FROM starts WHERE s = 0 OR s + 16 < len(ts)
+            )
+            SELECT lang, COUNT(*) AS n_chunks,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(n_tok), 4) AS avg_chunk_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chunk_chars
+            FROM chunks GROUP BY lang ORDER BY lang
         """,
         "value_percentiles_by_type": """
             SELECT event_type, COUNT(value) AS n,

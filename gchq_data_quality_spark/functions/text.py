@@ -172,3 +172,68 @@ def quality_score(col: Column) -> Column:
         + F.when(max_word_length(col) <= 25, 0.10).otherwise(0.0)
     )
     return F.when(col.isNull(), F.lit(None)).otherwise(score)
+
+
+def chunk_spans(col: Column, max_tokens: int = 64, overlap: int = 16) -> Column:
+    """array<struct<chunk_idx int, n_tokens int, chunk_text string>>: the
+    document split into whitespace-token windows of ``max_tokens`` with
+    ``overlap`` tokens of context carried between consecutive chunks — the
+    standard long-document -> training-sample splitter.
+
+    Chunk i starts at token i*(max_tokens-overlap); a trailing start whose
+    window would be a pure suffix of the previous chunk (start+overlap >=
+    n_tokens) is dropped, except start 0 so every non-null doc yields >= 1
+    chunk. All native array ops, one pass; the token array is bound ONCE via
+    the transform trick (HOF subtrees get no subexpression elimination — see
+    repetition_ratio).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+
+    tokens = F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+    )
+
+    def _from_tokens(ts: Column) -> Column:
+        n = F.size(ts)
+        starts = F.filter(
+            F.sequence(
+                F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+            ),
+            lambda s: (s == 0) | (s + F.lit(overlap) < n),
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                F.least(F.lit(max_tokens), n - s).alias("n_tokens"),
+                F.array_join(
+                    F.slice(ts, s + F.lit(1), F.lit(max_tokens)), " "
+                ).alias("chunk_text"),
+            ),
+        )
+
+    return F.transform(F.array(tokens), _from_tokens)[0]
+
+
+def chunk_documents(
+    df, text_col: str, id_col: str, max_tokens: int = 64, overlap: int = 16
+):
+    """One row per chunk: (id, chunk_idx, n_tokens, chunk_text).
+
+    Null-text rows produce no chunks (explode drops them); empty-but-present
+    text yields one empty chunk, preserving the row for lineage. A narrow
+    map + generate — no shuffle, safe at any scale.
+    """
+    spans = chunk_spans(F.col(text_col), max_tokens, overlap)
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(spans).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )

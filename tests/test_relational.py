@@ -258,3 +258,45 @@ def test_groupwise_outlier_counts_matches_numpy(spark):
         assert got[g]["n_outliers"] == expected, g
         assert got[g]["n"] == len(vals)
     assert got["g0"]["n_outliers"] >= 1 and got["g1"]["n_outliers"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# document chunking (functions/text.py)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from gchq_data_quality_spark.functions.text import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, "text", "doc_id", max_tokens=40, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0, 30, 60, 90 -> but 90+10 >= 100 drops the pure-suffix
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [c["n_tokens"] for c in chunks] == [40, 40, 40]
+    assert chunks[0]["chunk_text"].split() == words[0:40]
+    assert chunks[1]["chunk_text"].split() == words[30:70]  # 10-token overlap
+    assert chunks[2]["chunk_text"].split() == words[60:100]
+    # short doc: one chunk with every token
+    [c2] = by_doc[2]
+    assert c2["n_tokens"] == 2 and c2["chunk_text"] == "short doc"
+    # empty text: one empty chunk; null text: no rows
+    [c3] = by_doc[3]
+    assert c3["n_tokens"] == 0 and c3["chunk_text"] == ""
+    assert 4 not in by_doc
+
+
+def test_chunk_documents_plan_is_narrow(spark):
+    from gchq_data_quality_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # map + generate only, no shuffle
