@@ -5,16 +5,17 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 45 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 46 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup + duplicate-cluster components, the full
 LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
 exactness gate, similarity search + IVF cell assignment, as-of and
 bucketed range joins, deterministic stratified sampling, group-wise
-outlier screens, per-group exact percentiles, token-window document
-chunking, cohort retention, anti-join lapsed-customer screens, perceptual
-image near-dup, classic join/agg plans, corpus n-gram statistics), 38
-paired with ANSI SQL DuckDB oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+outlier screens, per-group exact percentiles, sliding event-time windows,
+token-window document chunking, cohort retention, anti-join
+lapsed-customer screens, perceptual image near-dup, classic join/agg
+plans, corpus n-gram statistics), 39 paired with ANSI SQL DuckDB oracles
+over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -765,6 +766,30 @@ def _q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (24 h width, 6 h slide) via the built-in
+    ``F.window`` generator — each event lands in 4 overlapping windows, the
+    same operator Structured Streaming uses for windowed aggregations
+    (batch here, so it is oracle-checkable). Window starts are reported as
+    epoch seconds: integer arithmetic is engine-portable, timestamps are
+    encoding bait."""
+    events = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    win = F.window(F.col("ts").cast("timestamp"), "24 hours", "6 hours")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start")
+    )
+
+
 def _q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window document chunking (64-token windows, 16-token overlap) —
     the long-document -> training-sample splitter — aggregated per language.
@@ -1022,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "weekly_retention": _q_weekly_retention,
         "value_percentiles_by_type": _q_value_percentiles_by_type,
+        "events_sliding_window": _q_events_sliding_window,
         "document_chunks": _q_document_chunks,
         "image_neardup_pairs": _q_image_neardup_pairs,
         "decontamination_hits": _q_decontamination_hits,
@@ -1479,6 +1505,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # document_chunks: 64-token windows, stride 48 (overlap 16); chunk
         # text via 1-based inclusive list slice == Spark's slice(start, len).
+        # events_sliding_window: an event at t belongs to the 4 windows with
+        # start = (floor(t/6h) - k) * 6h, k = 0..3 (width 24 h / slide 6 h,
+        # epoch-aligned exactly like Spark's F.window).
+        "events_sliding_window": """
+            WITH assigned AS (
+                SELECT (epoch_us(ts) // 21600000000 - k.k) * 21600 AS window_start,
+                       value
+                FROM events
+                CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k) k
+                WHERE ts IS NOT NULL
+            )
+            SELECT window_start, COUNT(*) AS n_events,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM assigned GROUP BY window_start ORDER BY window_start
+        """,
         "document_chunks": r"""
             WITH toks AS (
                 SELECT doc_id, lang,
