@@ -330,6 +330,8 @@ def bench_queries(
         "asof_time_since_error",
         "orders_nearby_window",
         "dedup_cluster_sizes",
+        "value_percentiles_by_type",
+        "document_chunks",
     ]
     queries = entry_mod.queries()
     warmup_dir = "/root/testdata/sf0.001"

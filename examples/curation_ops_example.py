@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Tour of the corpus-curation operator surface on the driver testdata:
+exact + near-dup dedup, duplicate-cluster structure, decontamination,
+chunking, deterministic sampling, as-of / range joins, and outlier screens.
+
+    python examples/curation_ops_example.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gchq_data_quality_spark.functions.dedup import (  # noqa: E402
+    duplicate_groups,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+)
+from gchq_data_quality_spark.functions.relational import (  # noqa: E402
+    asof_join,
+    connected_components,
+)
+from gchq_data_quality_spark.functions.stats import (  # noqa: E402
+    groupwise_outlier_counts,
+    stratified_sample,
+)
+from gchq_data_quality_spark.functions.text import chunk_documents  # noqa: E402
+from gchq_data_quality_spark.sources.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(cores=4, app_name="curation-ops-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    print("== exact duplicate groups (top 5) ==")
+    duplicate_groups(docs, "text", "doc_id").orderBy(F.desc("n")).show(5)
+
+    print("== near-dup dedup: rows before/after (minhash LSH -> exact verify) ==")
+    kept = minhash_dedup(docs, "text", "doc_id", threshold=0.7, transitive=True)
+    print(f"{docs.count()} -> {kept.count()} rows")
+
+    print("== duplicate-cluster size histogram ==")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).orderBy("cluster_size").show()
+
+    print("== 64-token chunks with 16-token overlap (first 3) ==")
+    chunk_documents(docs, "text", "doc_id").show(3, truncate=60)
+
+    print("== deterministic 30% sample: same rows every run ==")
+    sample = stratified_sample(docs, "doc_id", 300)
+    print(f"sampled {sample.count()} of {docs.count()}")
+
+    print("== per-type value outliers (|z| > 3) ==")
+    groupwise_outlier_counts(events, ["event_type"], "value").show()
+
+    print("== as-of: time since the user's previous error event ==")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("ts").alias("err_ts")
+    )
+    joined = asof_join(
+        events.select("user_id", "event_id", "ts"),
+        errors,
+        by=["user_id"], left_on="ts", right_on="ts",
+        value_cols=["err_ts"], strict=True, tiebreak="event_id",
+    )
+    joined.filter(F.col("err_ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros("err_ts")).alias("lag_us"),
+    ).show(5)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

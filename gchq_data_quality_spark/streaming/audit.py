@@ -28,12 +28,17 @@ def streaming_audit(
     event_time_col: str,
     window_duration: str = "1 minute",
     watermark: str = "2 minutes",
+    slide_duration: str | None = None,
 ) -> DataFrame:
     """Windowed per-rule counts over a streaming DataFrame.
 
     Returns a streaming DataFrame with one row per (window, rule): write it
     with ``.writeStream.outputMode("update")`` (or append once the watermark
     closes windows). Flat columns only — nested flatten is a batch feature.
+
+    ``slide_duration`` < ``window_duration`` makes the windows SLIDING —
+    each row lands in width/slide overlapping windows (smoothed trend
+    dashboards); the default (None) keeps tumbling windows.
     """
     dtypes = {f.name: f.dataType for f in stream_df.schema.fields}
     compiled = [r.compile(F.col, dtypes.__getitem__) for r in rules]
@@ -48,9 +53,14 @@ def streaming_audit(
         aggs.append(F.sum(cr.evaluated.cast("long")).alias(f"evaluated_{i}"))
         aggs.append(F.sum(cr.passing_filled().cast("long")).alias(f"passing_{i}"))
 
+    win = (
+        F.window(F.col(event_time_col), window_duration, slide_duration)
+        if slide_duration is not None
+        else F.window(F.col(event_time_col), window_duration)
+    )
     windowed = (
         stream_df.withWatermark(event_time_col, watermark)
-        .groupBy(F.window(F.col(event_time_col), window_duration))
+        .groupBy(win)
         .agg(*aggs)
     )
 

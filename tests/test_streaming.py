@@ -106,3 +106,39 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert 3 not in got      # cross-batch duplicate (state remembered it)
     assert 1 in got and 4 in got
     assert len(got) == 3
+
+
+def test_streaming_audit_sliding_windows(spark, tmp_path):
+    """slide < width: every row lands in width/slide overlapping windows,
+    so the per-window counts overlap-and-sum accordingly."""
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 30), "a"),
+        (dt.datetime(2024, 1, 1, 0, 1, 30), None),
+    ]
+    src = tmp_path / "stream_slide"
+    spark.createDataFrame(rows, "ts timestamp, name string").write.parquet(str(src))
+    stream = spark.readStream.schema("ts timestamp, name string").parquet(str(src))
+    audited = streaming_audit(
+        stream,
+        [CompletenessRule(field="name", rule_id="name_ok")],
+        "ts",
+        window_duration="2 minutes",
+        watermark="4 minutes",
+        slide_duration="1 minute",
+    )
+    query = (
+        audited.writeStream.format("memory")
+        .queryName("audit_slide_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    result = {
+        r.window_start.minute: (r.records_evaluated, r.records_passing)
+        for r in spark.sql("select * from audit_slide_sink").collect()
+    }
+    # row@0:30 -> windows starting 23:59 and 00:00; row@1:30 -> 00:01 and 00:00
+    assert result[0] == (2, 1)   # both rows share the 00:00-00:02 window
+    assert result[59] == (1, 1)  # 23:59-00:01 holds only the first row
+    assert result[1] == (1, 0)   # 00:01-00:03 holds only the null row
