@@ -5,17 +5,18 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 46 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 48 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup + duplicate-cluster components, the full
 LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
 exactness gate, similarity search + IVF cell assignment, as-of and
 bucketed range joins, deterministic stratified sampling, group-wise
 outlier screens, per-group exact percentiles, sliding event-time windows,
-token-window document chunking, cohort retention, anti-join
-lapsed-customer screens, perceptual image near-dup, classic join/agg
-plans, corpus n-gram statistics), 39 paired with ANSI SQL DuckDB oracles
-over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+token-window document chunking, deterministic train/val/test splitting,
+per-source data mixing, cohort retention, anti-join lapsed-customer
+screens, perceptual image near-dup, classic join/agg plans, corpus n-gram
+statistics), 41 paired with ANSI SQL DuckDB oracles over the same parquet
+tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -766,6 +767,56 @@ def _q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split from the doc_id hash —
+    a property of the row (no leakage across reruns/appends; sidecar tables
+    keyed by doc_id split identically). Reported per (split, lang)."""
+    from gchq_data_quality_spark.functions.stats import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", hash_split(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-source keep rates (sources 0-4 kept fully, 5-9 at
+    50%, the tail at 20%) applied with the id-uniform hash — every tier is
+    cut at exactly its configured rate, deterministically. The curation
+    step that turns a raw crawl into a weighted training mix."""
+    from gchq_data_quality_spark.functions.stats import weighted_sample_flag
+
+    docs = _read(spark, sf_dir, "documents")
+    src_idx = F.regexp_replace("source", "[^0-9]", "").cast("int")
+    tier = (
+        F.when(src_idx < 5, "full")
+        .when(src_idx < 10, "half")
+        .otherwise("tail")
+    )
+    rate = (
+        F.when(src_idx < 5, 1000).when(src_idx < 10, 500).otherwise(200)
+    )
+    kept = weighted_sample_flag(F.col("doc_id"), rate)
+    return (
+        docs.select(tier.alias("tier"), kept.alias("kept"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_sampled"),
+            F.round(
+                F.sum(F.col("kept").cast("long")) / F.count(F.lit(1)), 4
+            ).alias("realised_rate"),
+        )
+        .orderBy("tier")
+    )
+
+
 def _q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (24 h width, 6 h slide) via the built-in
     ``F.window`` generator — each event lands in 4 overlapping windows, the
@@ -1049,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_by_type": _q_value_percentiles_by_type,
         "events_sliding_window": _q_events_sliding_window,
         "document_chunks": _q_document_chunks,
+        "dataset_split_counts": _q_dataset_split_counts,
+        "source_mix_sample": _q_source_mix_sample,
         "image_neardup_pairs": _q_image_neardup_pairs,
         "decontamination_hits": _q_decontamination_hits,
         "top_bigrams": _q_top_bigrams,
@@ -1505,6 +1558,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # document_chunks: 64-token windows, stride 48 (overlap 16); chunk
         # text via 1-based inclusive list slice == Spark's slice(start, len).
+        # dataset_split_counts / source_mix_sample: the IDENTICAL sampling
+        # hash evaluated in SQL (see stratified_sample_stats).
+        "dataset_split_counts": """
+            WITH h AS (
+                SELECT lang, n_chars,
+                       ((doc_id % 2147483648) * 1103515245 + 12345)
+                         % 2147483647 % 1000 AS hp
+                FROM documents
+            )
+            SELECT CASE WHEN hp < 800 THEN 'train'
+                        WHEN hp < 900 THEN 'val' ELSE 'test' END AS split,
+                   lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM h GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "source_mix_sample": """
+            WITH h AS (
+                SELECT CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT)
+                         AS src_idx,
+                       ((doc_id % 2147483648) * 1103515245 + 12345)
+                         % 2147483647 % 1000 AS hp
+                FROM documents
+            ), t AS (
+                SELECT CASE WHEN src_idx < 5 THEN 'full'
+                            WHEN src_idx < 10 THEN 'half' ELSE 'tail' END AS tier,
+                       hp < CASE WHEN src_idx < 5 THEN 1000
+                                 WHEN src_idx < 10 THEN 500 ELSE 200 END AS kept
+                FROM h
+            )
+            SELECT tier, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sampled,
+                   ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 4) AS realised_rate
+            FROM t GROUP BY tier ORDER BY tier
+        """,
         # events_sliding_window: an event at t belongs to the 4 windows with
         # start = (floor(t/6h) - k) * 6h, k = 0..3 (width 24 h / slide 6 h,
         # epoch-aligned exactly like Spark's F.window).

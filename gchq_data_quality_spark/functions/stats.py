@@ -56,6 +56,36 @@ def stratified_sample(
     return df.filter(stratified_sample_flag(F.col(id_col), rate_permille))
 
 
+def weighted_sample_flag(id_col: Column, rate_permille: Column) -> Column:
+    """Membership at a PER-ROW rate (0-1000 permille) — the data-mixing
+    primitive: give each source/quality tier its own keep rate and the
+    id-uniform hash cuts every tier at exactly that rate, deterministically.
+    """
+    return F.pmod(portable_hash(id_col), F.lit(1000)) < rate_permille
+
+
+def hash_split(
+    id_col: Column,
+    breaks_permille: Sequence[int] = (800, 900),
+    labels: Sequence[str] = ("train", "val", "test"),
+) -> Column:
+    """Deterministic dataset split label from the id hash: permille buckets
+    [0, b0) -> labels[0], [b0, b1) -> labels[1], ..., rest -> labels[-1].
+
+    A property of the row, not the run: the same id lands in the same split
+    on every engine/partitioning/rerun (no leakage when a table is re-split
+    after appends), and sidecar tables keyed by the same id split
+    consistently.
+    """
+    if len(labels) != len(breaks_permille) + 1:
+        raise ValueError("need exactly one more label than break")
+    h = F.pmod(portable_hash(id_col), F.lit(1000))
+    expr = F.lit(labels[-1])
+    for brk, label in zip(reversed(breaks_permille), reversed(labels[:-1])):
+        expr = F.when(h < F.lit(brk), F.lit(label)).otherwise(expr)
+    return expr
+
+
 def groupwise_outlier_counts(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -117,5 +117,9 @@ def test_sampling_hash_and_new_queries_under_ansi(ansi):
         "orders_nearby_window",
         "weekly_retention",
         "ivf_cell_assignment",
+        "dataset_split_counts",
+        "source_mix_sample",
+        "events_sliding_window",
+        "document_chunks",
     ):
         assert qs[name](ansi, sf).count() > 0, name

@@ -300,3 +300,40 @@ def test_chunk_documents_plan_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # map + generate only, no shuffle
+
+
+def test_hash_split_deterministic_proportions(spark):
+    from gchq_data_quality_spark.functions.stats import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(30_000)], "id long")
+    split = df.select("id", hash_split(F.col("id")).alias("s"))
+    counts = {r["s"]: r["n"] for r in split.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 30_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 30_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 30_000 - 0.1) < 0.01
+    # stable under repartitioning: same ids -> same split
+    again = {
+        r["id"]: r["s"]
+        for r in df.repartition(7).select("id", hash_split(F.col("id")).alias("s")).collect()
+    }
+    first = {r["id"]: r["s"] for r in split.collect()}
+    assert first == again
+
+
+def test_hash_split_validates_shape(spark):
+    from gchq_data_quality_spark.functions.stats import hash_split
+
+    with pytest.raises(ValueError, match="one more label"):
+        hash_split(F.col("id"), breaks_permille=(500,), labels=("a", "b", "c"))
+
+
+def test_weighted_sample_flag_respects_per_row_rate(spark):
+    from gchq_data_quality_spark.functions.stats import weighted_sample_flag
+
+    df = spark.createDataFrame(
+        [(i, 1000 if i % 2 == 0 else 0) for i in range(2_000)],
+        "id long, rate int",
+    )
+    kept = df.filter(weighted_sample_flag(F.col("id"), F.col("rate")))
+    ids = [r["id"] for r in kept.collect()]
+    assert len(ids) == 1_000 and all(i % 2 == 0 for i in ids)
