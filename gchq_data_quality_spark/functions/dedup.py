@@ -1,12 +1,15 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies, all shuffle-conscious:
+Six strategies, all shuffle-conscious:
 
 - exact_dedup            : hash groupBy on a normalised fingerprint (1 shuffle)
 - minhash_dedup          : shingle -> minhash -> LSH band buckets ->
-                           within-bucket candidate join (shuffle on band keys,
-                           never a cross join)
-- simhash_dedup          : 64-bit simhash + prefix buckets -> hamming check
+                           within-bucket candidate expansion (shuffle on band
+                           keys, never a cross join)
+- simhash_dedup          : 64-bit simhash + rotated-prefix buckets -> hamming
+- fingerprint_pairs      : the simhash bucket/verify stage for any
+                           PRE-COMPUTED 64-bit fingerprint (e.g. perceptual
+                           image hashes from functions/images.with_image_ahash)
 - ngram_jaccard_pairs    : exact n-gram Jaccard on LSH candidates (verifier)
 - embedding_dedup        : cosine near-duplicate pairs via random-hyperplane
                            LSH buckets over an embedding column

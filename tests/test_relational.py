@@ -337,3 +337,24 @@ def test_weighted_sample_flag_respects_per_row_rate(spark):
     kept = df.filter(weighted_sample_flag(F.col("id"), F.col("rate")))
     ids = [r["id"] for r in kept.collect()]
     assert len(ids) == 1_000 and all(i % 2 == 0 for i in ids)
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """Differential sweep: every doc length 0..130 against a pure-Python
+    reference of the window rule, across three (max_tokens, overlap)
+    configs — one Spark job per config."""
+    from gchq_data_quality_spark.functions.text import chunk_documents
+
+    def reference(n, max_t, ov):
+        stride = max_t - ov
+        starts = [s for s in range(0, max(n, 1), stride) if s == 0 or s + ov < n]
+        return [(idx, min(max_t, n - s)) for idx, s in enumerate(starts)]
+
+    docs = [(n, " ".join(f"t{j}" for j in range(n))) for n in range(131)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for max_t, ov in ((64, 16), (40, 0), (10, 9)):
+        got = {}
+        for r in chunk_documents(df, "text", "doc_id", max_t, ov).collect():
+            got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+        for n in range(131):
+            assert sorted(got[n]) == reference(n, max_t, ov), (n, max_t, ov)
