@@ -288,35 +288,56 @@ def _candidates_from_shingled(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    w = Window.partitionBy("band", "bucket").orderBy("id")
-    capped = banded.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= max_bucket
+    return _expand_bucket_pairs(
+        banded,
+        keys=["band", "bucket"],
+        member=F.col("id"),
+        make_pair=lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        max_bucket=max_bucket,
+    ).select("p.id_a", "p.id_b").distinct()
+
+
+def _expand_bucket_pairs(
+    bucketed: DataFrame,
+    keys: list[str],
+    member: Column,
+    make_pair,
+    max_bucket: int | None,
+    keep=None,
+) -> DataFrame:
+    """Within-bucket i<j pair expansion WITHOUT a self-join — the shared
+    engine behind minhash candidates, simhash/fingerprint hamming pairs, and
+    embedding cosine pairs.
+
+    A self-join's two lineages each recompute the (expensive) bucketing
+    expression upstream — Catalyst does not reuse the exchange across join
+    sides (measured 2x the signature-fold cost). Instead: row_number-cap
+    each (*keys) bucket at ``max_bucket`` (BEFORE collect_list, so the
+    per-group array stays bounded on pathological hot buckets; None = no
+    cap), groupBy the window's own partitioning keys (no extra shuffle),
+    sort the collected ``member`` values (unique id first -> deterministic
+    order), and expand i<j pairs with native array ops. ``make_pair(x, y)``
+    builds the output struct; optional ``keep(pair)`` filters inside the
+    expansion lambda so only surviving pairs explode. Returns one column
+    ``p`` (the pair struct) — callers project and distinct."""
+    if max_bucket is not None:
+        w = Window.partitionBy(*keys).orderBy("id")
+        bucketed = bucketed.withColumn(
+            "__rn", F.row_number().over(w)
+        ).filter(F.col("__rn") <= max_bucket)
+    members = bucketed.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(member)).alias("ms")
     )
-    # within-bucket pairs WITHOUT a self-join: a self-join's two lineages
-    # each recompute the signature fold (Catalyst does not reuse the
-    # exchange across the join sides — measured 2x the fold cost), while a
-    # groupBy on the window's own partitioning keys adds NO new shuffle and
-    # the (capped, <= max_bucket) member list expands to i<j pairs with
-    # native array ops. The cap runs BEFORE collect_list, so the per-group
-    # array is bounded even on pathological hot buckets.
-    members = capped.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    )
-    ids = F.col("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    ms = F.col("ms")
+
+    def inner(x, i):
+        pairs = F.transform(
+            F.slice(ms, i + F.lit(2), F.size(ms)), lambda y: make_pair(x, y)
         )
-    )
-    return (
-        members.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+        return F.filter(pairs, keep) if keep is not None else pairs
+
+    pair_arr = F.flatten(F.transform(ms, inner))
+    return members.select(F.explode(pair_arr).alias("p"))
 
 
 def ngram_jaccard_pairs(
@@ -623,47 +644,23 @@ def simhash_dedup_pairs(
 def _capped_hamming_pairs(
     buckets: DataFrame, max_bucket: int, max_hamming: int
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs from a (id, sim, rot, bucket) frame.
-
-    Within-bucket pairs without a self-join (see minhash_candidate_pairs:
-    the join's two lineages each recompute the fingerprint expression — for
-    simhash that is the single most expensive expression in the repo, and
-    eliminating the second evaluation + the join exchange halved the
-    query). groupBy on the window's partitioning keys adds no shuffle;
-    member structs sort by id (unique first field), the hamming check
-    runs inside the pair-expansion lambda so only verified pairs explode.
-    """
-    w = Window.partitionBy("rot", "bucket").orderBy("id")
-    capped = buckets.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= max_bucket
-    )
-    members = capped.groupBy("rot", "bucket").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("id"), F.col("sim")))
-        ).alias("ms")
-    )
-    ms = F.col("ms")
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(ms, i + F.lit(2), F.size(ms)),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"),
-                        y["id"].alias("id_b"),
-                        hamming64(x["sim"], y["sim"]).alias("hamming"),
-                    ),
-                ),
-                lambda p: p["hamming"] <= max_hamming,
-            ),
-        )
-    )
-    return (
-        members.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
-        .distinct()
-    )
+    """(id_a, id_b, hamming) pairs from a (id, sim, rot, bucket) frame —
+    the shared _expand_bucket_pairs engine with a hamming verify (for
+    simhash the upstream fingerprint fold is the single most expensive
+    expression in the repo; eliminating the self-join's second evaluation
+    halved the query)."""
+    return _expand_bucket_pairs(
+        buckets,
+        keys=["rot", "bucket"],
+        member=F.struct(F.col("id"), F.col("sim")),
+        make_pair=lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            hamming64(x["sim"], y["sim"]).alias("hamming"),
+        ),
+        max_bucket=max_bucket,
+        keep=lambda p: p["hamming"] <= max_hamming,
+    ).select("p.id_a", "p.id_b", "p.hamming").distinct()
 
 
 def fingerprint_pairs(
@@ -718,7 +715,7 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     bands: int = 4,
-    max_bucket: int = 64,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH.
 
@@ -729,6 +726,14 @@ def embedding_dedup_pairs(
     lineages would each recompute the n_planes dot products per row, and an
     uncapped sign bucket is the skew risk — ``max_bucket`` bounds it exactly
     like the minhash/simhash paths).
+
+    NOTE ``max_bucket`` trades completeness for skew-safety: a bucket with
+    more than ``max_bucket`` members only pairs its ``max_bucket`` smallest
+    ids, so pairs among the excess are dropped (at a near-dup threshold the
+    survivors usually transitively cover the cluster anyway). Pass
+    ``max_bucket=None`` for exhaustive within-bucket pairing — the
+    collect_list per bucket is then unbounded, so only do it when the
+    bucket-size distribution is known.
     """
     dim = len(df.select(vec_col).first()[0])
     planes_per_band = n_planes // bands
@@ -774,32 +779,15 @@ def embedding_dedup_pairs(
         ).alias("bb"),
     ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    w = Window.partitionBy("band", "bucket").orderBy("id")
-    capped = exploded.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= max_bucket
-    )
-    members = capped.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(F.struct(F.col("id"), F.col("v")))).alias("ms")
-    )
-    ms = F.col("ms")
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(ms, i + F.lit(2), F.size(ms)),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"),
-                        y["id"].alias("id_b"),
-                        cosine_similarity(x["v"], y["v"]).alias("cosine"),
-                    ),
-                ),
-                lambda p: p["cosine"] >= threshold,
-            ),
-        )
-    )
-    return (
-        members.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.cosine")
-        .distinct()
-    )
+    return _expand_bucket_pairs(
+        exploded,
+        keys=["band", "bucket"],
+        member=F.struct(F.col("id"), F.col("v")),
+        make_pair=lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            cosine_similarity(x["v"], y["v"]).alias("cosine"),
+        ),
+        max_bucket=max_bucket,
+        keep=lambda p: p["cosine"] >= threshold,
+    ).select("p.id_a", "p.id_b", "p.cosine").distinct()

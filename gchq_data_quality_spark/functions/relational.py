@@ -87,8 +87,13 @@ def asof_join(
     ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     order = [ts_order, F.col("__side")]
     if tiebreak is not None:
-        # deterministic total order when several rows share a timestamp
+        # deterministic order among LEFT rows sharing a timestamp
         order.append(F.col("__lrow").getField(tiebreak))
+    # right rows sharing (by, ts): which payload wins is semantically
+    # unspecified, but make the choice STABLE across runs/partitionings by
+    # ordering on a hash of the payload itself (NULL for left rows, so the
+    # left ordering above is untouched)
+    order.append(F.xxhash64(F.col("__rpayload")))
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)
@@ -131,8 +136,21 @@ def bucketed_range_join(
         raise ValueError("lower must be <= upper")
     by = list(by)
     width = max(upper - lower, 1)
-    lo_b = F.floor((F.col(left_point) + F.lit(lower)) / F.lit(width))
-    hi_b = F.floor((F.col(left_point) + F.lit(upper)) / F.lit(width))
+
+    def floor_div(x_sql: str) -> Column:
+        # EXACT integer floor division via the SQL `div` operator. Any
+        # formulation through `/` divides as DOUBLE: above 2^53 (epoch
+        # micros ~1.7e18) the quotient carries ~1e-10 of rounding error, so
+        # points near a bucket boundary can floor to the wrong bucket and
+        # silently lose qualifying pairs. pmod(x, w) is non-negative, so
+        # (x - pmod) is an exact multiple and truncating `div` == floor for
+        # either sign of x.
+        return F.expr(
+            f"(({x_sql}) - pmod(({x_sql}), {width})) div {width}"
+        )
+
+    lo_b = floor_div(f"`{left_point}` + ({lower})")
+    hi_b = floor_div(f"`{left_point}` + ({upper})")
 
     lkeep = [c for c in left.columns if c not in by]
     rkeep = [c for c in right.columns if c not in by]
@@ -143,7 +161,7 @@ def bucketed_range_join(
     )
     rx = right.select(
         *by,
-        F.floor(F.col(right_point) / F.lit(width)).alias("__bucket"),
+        floor_div(f"`{right_point}`").alias("__bucket"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in rkeep],
     )
     lp = F.col(f"{left_prefix}{left_point}")
@@ -160,6 +178,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Exact connected components of an undirected edge list: (id, label)
     with ``label`` = the smallest id in the node's component.
@@ -171,6 +190,11 @@ def connected_components(
     magnitude smaller than the corpus). The convergence probe is a 1-row
     count, and each round's result is localCheckpoint-ed so lineage (and
     recomputation) stays O(1) per round.
+
+    ``strict=True`` (default) raises RuntimeError if labels are still
+    changing after ``max_iters`` rounds — silently returning split
+    components would corrupt every downstream dedup decision. Pass
+    ``strict=False`` to accept bounded propagation (minhash_dedup-style).
     """
     # materialise the edge list ONCE: every iteration joins it, and without
     # the checkpoint each round would re-run the whole upstream pipeline
@@ -187,6 +211,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    n_changed = 0
     for _ in range(max_iters):
         neighbour_min = (
             edges.join(labels, edges.src == labels.id)
@@ -208,4 +233,10 @@ def connected_components(
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
+    if strict and n_changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters or "
+            "pass strict=False to accept bounded propagation"
+        )
     return labels

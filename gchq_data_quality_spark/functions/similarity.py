@@ -67,10 +67,21 @@ def assign_cells(
     no join, no shuffle, one map-side pass over the data.
     """
     cells = centroids.collect()
+    if not cells:
+        raise ValueError("assign_cells: centroid table is empty")
     best = None
     for row in cells:
         centroid = F.array(*[F.lit(float(x)) for x in row["centroid"]])
-        sim = cosine_similarity(F.col(vec_col), centroid)
+        raw = cosine_similarity(F.col(vec_col), centroid)
+        # a degenerate (zero-norm) centroid or row yields NaN, and NaN sorts
+        # GREATER than every double in Spark's struct comparison — it would
+        # win every argmax; map it below the cosine range instead. The
+        # bind-once transform keeps the cosine (a HOF tree, no CSE)
+        # evaluated a single time despite the two references.
+        sim = F.transform(
+            F.array(raw),
+            lambda v: F.when(F.isnan(v), F.lit(-2.0)).otherwise(v),
+        )[0]
         candidate = F.struct(sim.alias("sim"), F.lit(row["cell"]).alias("cell"))
         best = candidate if best is None else F.greatest(best, candidate)
     out = df.withColumn("cell", best["cell"])

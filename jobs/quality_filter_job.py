@@ -142,8 +142,17 @@ def main(argv: list[str] | None = None) -> None:
         from gchq_data_quality_spark.functions.text import fingerprint
 
         dedup_fp_col = "dq_caption_fp"
+        # NULL captions must NOT share a fingerprint: fingerprint(NULL) =
+        # xxhash64(NULL) is one constant, which would collapse every
+        # missing-caption row (a defect class the rules are supposed to
+        # flag, not delete) into a single survivor. Missing-caption rows
+        # get a per-row key instead — never deduplicated.
         df = df.withColumn(
-            dedup_fp_col, fingerprint(F.col(config.caption_col))
+            dedup_fp_col,
+            F.when(
+                F.col(config.caption_col).isNotNull(),
+                fingerprint(F.col(config.caption_col)),
+            ).otherwise(F.xxhash64(F.lit("__null_caption__"), F.col(config.id_col))),
         )
         key_col = dedup_fp_col
 
@@ -160,7 +169,8 @@ def main(argv: list[str] | None = None) -> None:
 
     prefilter_by_bucket: dict[str, dict[str, int]] = {}
     caches: list = []
-    dedup_stats = {"duplicates_dropped": 0}
+
+    dedup_dropped_by_bucket: dict[str, int] = {}
 
     def transform(part):
         if dedup_fp_col is not None:
@@ -170,11 +180,16 @@ def main(argv: list[str] | None = None) -> None:
             w = Window.partitionBy(dedup_fp_col).orderBy(config.id_col)
             ranked = part.withColumn("__dq_dup_rn", F.row_number().over(w))
             # one cheap extra pass (fingerprint + window over THIS batch's
-            # buckets only) buys an exact duplicates-dropped count for the
-            # run summary; scoring has not run yet at this point
-            dedup_stats["duplicates_dropped"] += ranked.filter(
-                F.col("__dq_dup_rn") > 1
-            ).count()
+            # buckets only) buys exact per-bucket drop counts; persisted to
+            # the manifest (like the audit counts) so a RESUMED run's
+            # summary still covers buckets completed by earlier runs
+            for row in (
+                ranked.filter(F.col("__dq_dup_rn") > 1)
+                .groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                dedup_dropped_by_bucket[str(row[BUCKET_COL])] = int(row["n"])
             part = (
                 ranked.filter(F.col("__dq_dup_rn") == 1)
                 .drop("__dq_dup_rn", dedup_fp_col)
@@ -204,7 +219,14 @@ def main(argv: list[str] | None = None) -> None:
         resume=args.resume,
     )
     if dedup_fp_col is not None:
-        summary["duplicates_dropped"] = dedup_stats["duplicates_dropped"]
+        manifest = CheckpointManifest(args.manifest)
+        if dedup_dropped_by_bucket:
+            manifest.merge_meta("dedup_dropped", dedup_dropped_by_bucket)
+        stored_drops = manifest.get_meta("dedup_dropped")
+        # whole-run total: completed buckets with no recorded entry dropped 0
+        summary["duplicates_dropped"] = sum(
+            int(stored_drops.get(str(b), 0)) for b in manifest.completed_buckets()
+        )
     elapsed = time.time() - t0
     for cached in caches:
         cached.unpersist(blocking=False)

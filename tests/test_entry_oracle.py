@@ -113,3 +113,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "pass_rate" in df.columns
+
+
+def test_events_user_ts_is_duplicate_free(duck):
+    """The asof_time_since_error oracle's strict-window formulation is only
+    equivalent to the engine's as-of when (user_id, ts) never repeats —
+    pin the data invariant the oracle comment relies on."""
+    [(dups,)] = duck.execute(
+        "SELECT COUNT(*) FROM (SELECT user_id, ts FROM events "
+        "WHERE ts IS NOT NULL GROUP BY 1, 2 HAVING COUNT(*) > 1)"
+    ).fetchall()
+    assert dups == 0

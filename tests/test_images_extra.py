@@ -134,3 +134,22 @@ def test_fingerprint_pairs_plan_has_no_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan
+
+
+def test_assign_cells_rejects_empty_and_survives_nan(spark):
+    import pytest as _pytest
+
+    from gchq_data_quality_spark.functions.similarity import assign_cells
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty = spark.createDataFrame([], "cell long, centroid array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        assign_cells(df, empty)
+    # a zero-norm centroid yields NaN cosine; it must never win the argmax
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])], "cell long, centroid array<double>"
+    )
+    got = {r["vec_id"]: r["cell"] for r in assign_cells(df, cents).collect()}
+    assert got[0] == 1  # matches the real centroid, not the NaN one

@@ -164,7 +164,8 @@ def test_job_exact_dedup_drops_duplicate_captions(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     fp_counts = (
-        written.select(fingerprint(F.col("caption")).alias("fp"))
+        written.filter(F.col("caption").isNotNull())  # null rows never dedup
+        .select(fingerprint(F.col("caption")).alias("fp"))
         .groupBy("fp").count().filter("count > 1").count()
     )
     assert fp_counts == 0  # no duplicate captions survive
@@ -183,3 +184,21 @@ def test_job_exact_dedup_resume_is_idempotent(spark, tmp_path, capsys):
     assert second["buckets_run"] == 0
     assert second["buckets_skipped"] == 4
     assert spark.read.parquet(str(out)).count() == first["rows_written"]
+
+
+def test_job_exact_dedup_keeps_all_null_caption_rows(spark, tmp_path, capsys):
+    """fingerprint(NULL) is a constant — without the per-row null key every
+    missing-caption row would collapse into one survivor. They are a defect
+    class for the RULES to flag, never dedup casualties."""
+    from pyspark.sql import functions as F
+
+    from gchq_data_quality_spark.sources.synthetic import generate_images_df
+
+    n_null = generate_images_df(spark, 400).filter(F.col("caption").isNull()).count()
+    assert n_null > 0  # the corpus plants the null_caption defect class
+    out, _, _ = _run(tmp_path, ["--dedup", "exact"])
+    capsys.readouterr()
+    written_null = (
+        spark.read.parquet(str(out)).filter(F.col("caption").isNull()).count()
+    )
+    assert written_null == n_null

@@ -358,3 +358,54 @@ def test_chunk_documents_matches_python_reference(spark):
             got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
         for n in range(131):
             assert sorted(got[n]) == reference(n, max_t, ov), (n, max_t, ov)
+
+
+def test_bucketed_range_join_exact_at_epoch_scale(spark):
+    """Bucket ids must be exact above 2^53: epoch-micros points sitting ON
+    bucket boundaries (where double division rounds) must not lose pairs."""
+    w = 14 * 86_400_000_000
+    base = (1_600_000_000_000_000_000 // w) * w  # exactly on a boundary
+    pts = [base - 1, base, base + 1, base + 7 * 86_400_000_000,
+           base + w - 1, base + w, base - 7 * 86_400_000_000]
+    rows = [("k", p, i) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "key string, p long, rid long")
+    lower, upper = -7 * 86_400_000_000, 7 * 86_400_000_000
+    got = {
+        (r["l_rid"], r["r_rid"])
+        for r in bucketed_range_join(
+            df, df, by=["key"], left_point="p", right_point="p",
+            lower=lower, upper=upper,
+        ).collect()
+    }
+    expected = {
+        (l[2], r[2])
+        for l in rows for r in rows
+        if l[1] + lower <= r[1] <= l[1] + upper
+    }
+    assert got == expected
+
+
+def test_connected_components_strict_raises_on_nonconvergence(spark):
+    chain = [(i, i + 1) for i in range(24)]  # diameter 24 > 3 rounds
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=3)
+    # bounded mode returns without raising (labels partially propagated)
+    labels = connected_components(pairs, max_iters=3, strict=False)
+    assert labels.count() == 25
+
+
+def test_asof_right_tie_choice_is_stable(spark):
+    """Among right rows sharing (key, ts) the winner is semantically
+    unspecified but must be STABLE across partitionings."""
+    left = spark.createDataFrame([("k", 10, 1)], "key string, ts long, lid long")
+    right_rows = [("k", 5, f"v{i}") for i in range(6)]
+    right = spark.createDataFrame(right_rows, "key string, ts long, val string")
+    vals = set()
+    for parts in (1, 3, 7):
+        [row] = asof_join(
+            left, right.repartition(parts), by=["key"],
+            left_on="ts", right_on="ts", value_cols=["val"],
+        ).collect()
+        vals.add(row["val"])
+    assert len(vals) == 1
