@@ -29,6 +29,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _sliding_ngrams(col: Column, n: int, token_map, combine) -> Column:
+    """Shared sliding-window builder behind word_ngram_ids / word_ngrams:
+    one tokenisation rule (lowercase, trim, whitespace split, drop empties),
+    one windowing invariant — combine n shifted slices, each SLICED TO
+    n_grams EXACTLY because zip_with pads the SHORTER side with nulls, so a
+    longer shifted slice would fabricate extra grams. The token array is
+    bound once via the transform trick (no CSE across higher-order
+    functions); ``token_map``/``combine`` pick the representation.
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    if token_map is not None:
+        tokens = F.transform(tokens, token_map)
+
+    def _from_tokens(arr: Column) -> Column:
+        n_grams = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
+        grams = F.slice(arr, 1, n_grams)
+        for k in range(1, n):
+            shifted = F.slice(arr, k + 1, n_grams)
+            grams = F.zip_with(grams, shifted, combine)
+        return grams
+
+    return F.transform(F.array(tokens), _from_tokens)[0]
+
+
 def word_ngram_ids(col: Column, n: int = 8) -> Column:
     """array<long>: one 64-bit id per word n-gram window of the text.
 
@@ -37,27 +63,11 @@ def word_ngram_ids(col: Column, n: int = 8) -> Column:
     ``xxhash64(acc, token_hash)`` — deterministic, identical construction on
     both the corpus and probe sides, collision odds ~grams²/2^64.
     """
-    tokens = F.transform(
-        F.filter(
-            F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
-        ),
-        lambda s: F.xxhash64(s),
+    return _sliding_ngrams(
+        col, n,
+        token_map=lambda s: F.xxhash64(s),
+        combine=lambda a, b: F.xxhash64(a, b),
     )
-
-    # bind-once: `arr` references below would otherwise re-run the whole
-    # token pipeline per reference (no CSE across higher-order functions)
-    def _from_tokens(arr: Column) -> Column:
-        n_tokens = F.size(arr)
-        n_grams = F.greatest(n_tokens - F.lit(n - 1), F.lit(0))
-        grams = F.slice(arr, 1, n_grams)
-        for k in range(1, n):
-            # slice to n_grams exactly: zip_with pads the SHORTER side with
-            # nulls, so a longer shifted slice would fabricate extra grams
-            shifted = F.slice(arr, k + 1, n_grams)
-            grams = F.zip_with(grams, shifted, lambda a, b: F.xxhash64(a, b))
-        return grams
-
-    return F.transform(F.array(tokens), _from_tokens)[0]
 
 
 def word_ngrams(col: Column, n: int = 2) -> Column:
@@ -67,21 +77,11 @@ def word_ngrams(col: Column, n: int = 2) -> Column:
     human-readable / SQL-comparable (corpus statistics, boilerplate mining)
     rather than joined at scale. Same tokenisation.
     """
-    tokens = F.filter(
-        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+    return _sliding_ngrams(
+        col, n,
+        token_map=None,
+        combine=lambda a, b: F.concat_ws(" ", a, b),
     )
-
-    def _from_tokens(arr: Column) -> Column:
-        n_grams = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
-        grams = F.slice(arr, 1, n_grams)
-        for k in range(1, n):
-            shifted = F.slice(arr, k + 1, n_grams)
-            grams = F.zip_with(
-                grams, shifted, lambda a, b: F.concat_ws(" ", a, b)
-            )
-        return grams
-
-    return F.transform(F.array(tokens), _from_tokens)[0]
 
 
 def top_ngrams(

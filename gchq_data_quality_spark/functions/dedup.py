@@ -412,9 +412,16 @@ def minhash_dedup(
     it; only the component-global minimum survives. Real duplicate chains are
     shallow (boilerplate clusters are near-cliques), so 3 rounds covers them;
     each round shuffles only the pair graph (the near-dup edges, orders of
-    magnitude smaller than the corpus), not the data.
+    magnitude smaller than the corpus), not the data. The verified pairs are
+    localCheckpoint-ed first — the edge list is referenced by every round
+    plus the final anti-join, and without materialisation each reference
+    embeds the whole LSH + exact-verify subtree in the plan (exchange reuse
+    across AQE stages is not guaranteed), re-running the most expensive
+    stage of the job several times.
     """
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold, **kwargs)
+    if transitive:
+        pairs = pairs.localCheckpoint()
     if not transitive:
         # representative = min neighbour id (one hop)
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -454,9 +461,14 @@ def minhash_dedup(
 # 4 bits of the shingle hash spread into 4 16-bit counter lanes of one long:
 # nib * _LANE_MUL places bit l of the nibble at position 15l + l = 16l and
 # _LANE_MASK clears the cross-terms; the 15-gap keeps the 4-bit-wide terms
-# DISJOINT, so the multiply is carry-free. Max intermediate 15 * 2^45 < 2^50
-# — no ANSI overflow. 4 16-bit lanes x 16 longs = the 64 counters; lane
-# capacity 65535, enforced by slicing the shingle list to 65535 elements.
+# DISJOINT, so the multiply is carry-free (max spread term 15 * 2^45 < 2^50).
+# 4 16-bit lanes x 16 longs = the 64 counters. Shingles are sliced to 32767
+# elements: that bounds every lane count at 32767, so the ACCUMULATOR's
+# signed-long value never exceeds 32767 * (2^48 + 2^32 + 2^16 + 1) < 2^63 —
+# no ANSI overflow on the fold's adds. (The lane FIELD could hold 65535, but
+# past 32767 the top lane's accumulated value crosses 2^63 and an ANSI
+# session raises ARITHMETIC_OVERFLOW mid-fold — the driver's sessions are
+# ANSI, so the cap must protect the accumulator, not just the lane width.)
 #
 # Measured dead ends (kept out, documented so they stay out): an 8-bit-lane
 # inner fold per 255-shingle chunk halves the arithmetic but the per-chunk
@@ -466,7 +478,7 @@ def minhash_dedup(
 # b lanes x 16 bits <= 64 forces b <= 4 bits per group.
 _LANE_MUL = (1 << 45) | (1 << 30) | (1 << 15) | 1
 _LANE_MASK = (1 << 48) | (1 << 32) | (1 << 16) | 1
-_MAX_SIMHASH_SHINGLES = 65535
+_MAX_SIMHASH_SHINGLES = 32767
 
 
 def _simhash_fold(

@@ -169,8 +169,7 @@ def main(argv: list[str] | None = None) -> None:
 
     prefilter_by_bucket: dict[str, dict[str, int]] = {}
     caches: list = []
-
-    dedup_dropped_by_bucket: dict[str, int] = {}
+    run_manifest = CheckpointManifest(args.manifest)
 
     def transform(part):
         if dedup_fp_col is not None:
@@ -181,15 +180,18 @@ def main(argv: list[str] | None = None) -> None:
             ranked = part.withColumn("__dq_dup_rn", F.row_number().over(w))
             # one cheap extra pass (fingerprint + window over THIS batch's
             # buckets only) buys exact per-bucket drop counts; persisted to
-            # the manifest (like the audit counts) so a RESUMED run's
-            # summary still covers buckets completed by earlier runs
-            for row in (
-                ranked.filter(F.col("__dq_dup_rn") > 1)
+            # the manifest PER BATCH — counts written only at end-of-run
+            # would be lost by a mid-run crash, and the resumed run cannot
+            # reconstruct them for buckets it skips
+            batch_drops = {
+                str(row[BUCKET_COL]): int(row["n"])
+                for row in ranked.filter(F.col("__dq_dup_rn") > 1)
                 .groupBy(BUCKET_COL)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
-            ):
-                dedup_dropped_by_bucket[str(row[BUCKET_COL])] = int(row["n"])
+            }
+            if batch_drops:
+                run_manifest.merge_meta("dedup_dropped", batch_drops)
             part = (
                 ranked.filter(F.col("__dq_dup_rn") == 1)
                 .drop("__dq_dup_rn", dedup_fp_col)
@@ -198,12 +200,15 @@ def main(argv: list[str] | None = None) -> None:
         if args.keep_only:
             out = out.persist()
             caches.append(out)
+            batch_counts: dict[str, dict[str, int]] = {}
             for row in out.groupBy(BUCKET_COL).agg(*pipe.audit_agg_exprs()).collect():
                 counts = row.asDict()
                 bucket = str(counts.pop(BUCKET_COL))
-                prefilter_by_bucket[bucket] = {
-                    k: int(v or 0) for k, v in counts.items()
-                }
+                batch_counts[bucket] = {k: int(v or 0) for k, v in counts.items()}
+            prefilter_by_bucket.update(batch_counts)
+            # persist per batch (same crash rationale as the dedup counts)
+            if batch_counts:
+                run_manifest.merge_meta("audit_counts", batch_counts)
             out = out.filter("keep")
         return out
 
@@ -219,13 +224,11 @@ def main(argv: list[str] | None = None) -> None:
         resume=args.resume,
     )
     if dedup_fp_col is not None:
-        manifest = CheckpointManifest(args.manifest)
-        if dedup_dropped_by_bucket:
-            manifest.merge_meta("dedup_dropped", dedup_dropped_by_bucket)
-        stored_drops = manifest.get_meta("dedup_dropped")
+        stored_drops = run_manifest.get_meta("dedup_dropped")
         # whole-run total: completed buckets with no recorded entry dropped 0
         summary["duplicates_dropped"] = sum(
-            int(stored_drops.get(str(b), 0)) for b in manifest.completed_buckets()
+            int(stored_drops.get(str(b), 0))
+            for b in run_manifest.completed_buckets()
         )
     elapsed = time.time() - t0
     for cached in caches:
@@ -233,15 +236,23 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.keep_only:
         manifest = CheckpointManifest(args.manifest)
-        if prefilter_by_bucket:
-            manifest.merge_meta("audit_counts", prefilter_by_bucket)
         stored = manifest.get_meta("audit_counts")
         completed = {str(b) for b in sorted(manifest.completed_buckets())}
-        missing = completed - set(stored)
+        # a completed bucket with no stored counts is fine IF it was empty
+        # (zero input rows -> the per-bucket agg yields no row for it); the
+        # manifest's per-bucket written-row count distinguishes that from a
+        # legacy manifest genuinely missing the counts for non-empty buckets
+        state_completed = manifest.load()["completed"]
+        missing = {
+            b
+            for b in completed - set(stored)
+            if int(state_completed.get(b, {}).get("rows", 0) or 0) != 0
+        }
         if completed and not missing:
             totals: dict[str, int] = {}
             for bucket in completed:
-                for key, value in stored[bucket].items():
+                # empty buckets have no stored entry -> contribute zero
+                for key, value in stored.get(bucket, {}).items():
                     totals[key] = totals.get(key, 0) + int(value or 0)
             audit_df = pipe.report_to_df(spark, pipe.report_from_counts(totals))
         else:

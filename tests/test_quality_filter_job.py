@@ -202,3 +202,25 @@ def test_job_exact_dedup_keeps_all_null_caption_rows(spark, tmp_path, capsys):
         spark.read.parquet(str(out)).filter(F.col("caption").isNull()).count()
     )
     assert written_null == n_null
+
+
+def test_job_keep_only_writes_audit_despite_empty_buckets(spark, tmp_path, capsys):
+    """With more buckets than rows can fill, some buckets complete with ZERO
+    rows and therefore no stored audit counts — the job must still write the
+    whole-dataset audit (empty buckets contribute zero), not warn-and-skip."""
+    out = tmp_path / "out"
+    audit = tmp_path / "audit"
+    quality_filter_job.main(
+        [
+            "--synthetic", "60",
+            "--output", str(out),
+            "--audit", str(audit),
+            "--manifest", str(tmp_path / "m.json"),
+            "--n-buckets", "64",
+            "--buckets-per-batch", "32",
+            "--keep-only",
+        ]
+    )
+    capsys.readouterr()
+    audit_rows = {r.rule_id: r for r in spark.read.parquet(str(audit)).collect()}
+    assert audit_rows["caption_present"].records_evaluated == 60
