@@ -5,7 +5,7 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 48 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 49 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup + duplicate-cluster components, the full
 LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
@@ -13,10 +13,10 @@ exactness gate, similarity search + IVF cell assignment, as-of and
 bucketed range joins, deterministic stratified sampling, group-wise
 outlier screens, per-group exact percentiles, sliding event-time windows,
 token-window document chunking, deterministic train/val/test splitting,
-per-source data mixing, cohort retention, anti-join lapsed-customer
-screens, perceptual image near-dup, classic join/agg plans, corpus n-gram
-statistics), 41 paired with ANSI SQL DuckDB oracles over the same parquet
-tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+per-source data mixing, cohort retention, signup-to-purchase conversion
+funnels, anti-join lapsed-customer screens, perceptual image near-dup,
+classic join/agg plans, corpus n-gram statistics), 42 paired with ANSI SQL
+DuckDB oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, audio/video binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -767,6 +767,56 @@ def _q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: of each weekly cohort of FIRST signups, how many
+    users purchased within 24 h. The existence probe is a left-semi join —
+    equi on user_id with the time window as a join filter, so the purchase
+    side never fans out (one output row per converting signup, not one per
+    purchase)."""
+    day_us = 86_400_000_000
+    week_us = 7 * day_us
+    events = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    su = F.unix_micros(F.col("signup_ts").cast("timestamp"))
+    pu = F.unix_micros(F.col("p_ts").cast("timestamp"))
+    converted = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("signup_ts"))
+        & (pu <= su + F.lit(day_us)),
+        "left_semi",
+    ).select("user_id")
+    cohort = F.floor(su / F.lit(week_us)).alias("cohort_week")
+    per = (
+        signups.join(
+            converted.withColumn("__c", F.lit(1)), "user_id", "left"
+        )
+        .groupBy(cohort)
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0)).cast("long")).alias(
+                "n_converted"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("__c"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("conversion"),
+        )
+        .orderBy("cohort_week")
+    )
+    return per
+
+
 def _q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split from the doc_id hash —
     a property of the row (no leakage across reruns/appends; sidecar tables
@@ -1102,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_chunks": _q_document_chunks,
         "dataset_split_counts": _q_dataset_split_counts,
         "source_mix_sample": _q_source_mix_sample,
+        "signup_purchase_funnel": _q_signup_purchase_funnel,
         "image_neardup_pairs": _q_image_neardup_pairs,
         "decontamination_hits": _q_decontamination_hits,
         "top_bigrams": _q_top_bigrams,
@@ -1558,6 +1609,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # document_chunks: 64-token windows, stride 48 (overlap 16); chunk
         # text via 1-based inclusive list slice == Spark's slice(start, len).
+        "signup_purchase_funnel": """
+            WITH s AS (
+                SELECT user_id, MIN(ts) AS signup_ts
+                FROM events
+                WHERE event_type = 'signup'
+                  AND ts IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY user_id
+            ), c AS (
+                SELECT user_id, signup_ts,
+                       EXISTS (
+                           SELECT 1 FROM events e
+                           WHERE e.event_type = 'purchase'
+                             AND e.user_id = s.user_id
+                             AND e.ts > s.signup_ts
+                             AND epoch_us(e.ts)
+                                   <= epoch_us(s.signup_ts) + 86400000000
+                       ) AS conv
+                FROM s
+            )
+            SELECT CAST(FLOOR(epoch_us(signup_ts) / 604800000000.0) AS BIGINT)
+                     AS cohort_week,
+                   COUNT(*) AS n_signups,
+                   CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_converted,
+                   ROUND(CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS conversion
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
         # dataset_split_counts / source_mix_sample: the IDENTICAL sampling
         # hash evaluated in SQL (see stratified_sample_stats).
         "dataset_split_counts": """
