@@ -121,5 +121,6 @@ def test_sampling_hash_and_new_queries_under_ansi(ansi):
         "source_mix_sample",
         "events_sliding_window",
         "document_chunks",
+        "signup_purchase_funnel",
     ):
         assert qs[name](ansi, sf).count() > 0, name
