@@ -5,7 +5,7 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 49 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 50 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup + duplicate-cluster components, the full
 LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
@@ -767,6 +767,50 @@ def _q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (the tokenizer-budget question): how many
+    distinct tokens cover 50/90/99% of total token mass. The cumulative
+    window is GLOBAL but runs over the VOCABULARY (distinct tokens — orders
+    of magnitude smaller than the corpus), which is the standard scale
+    shape for frequency tables. Thresholds compare as integers
+    (2*cum < total etc.) so the cut is exact on any engine."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.orderBy(F.desc("n"), "tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy()
+    c = freq.select(
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.max("total").alias("total_tokens"),
+        (F.sum((2 * F.col("cum") < F.col("total")).cast("long")) + 1).alias(
+            "n_top50"
+        ),
+        (
+            F.sum((10 * F.col("cum") < 9 * F.col("total")).cast("long")) + 1
+        ).alias("n_top90"),
+        (
+            F.sum((100 * F.col("cum") < 99 * F.col("total")).cast("long")) + 1
+        ).alias("n_top99"),
+    )
+
+
 def _q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel: of each weekly cohort of FIRST signups, how many
     users purchased within 24 h. The existence probe is a left-semi join —
@@ -1153,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split_counts": _q_dataset_split_counts,
         "source_mix_sample": _q_source_mix_sample,
         "signup_purchase_funnel": _q_signup_purchase_funnel,
+        "vocab_coverage": _q_vocab_coverage,
         "image_neardup_pairs": _q_image_neardup_pairs,
         "decontamination_hits": _q_decontamination_hits,
         "top_bigrams": _q_top_bigrams,
@@ -1609,6 +1654,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # document_chunks: 64-token windows, stride 48 (overlap 16); chunk
         # text via 1-based inclusive list slice == Spark's slice(start, len).
+        "vocab_coverage": r"""
+            WITH toks AS (
+                SELECT UNNEST(list_filter(
+                    string_split_regex(LOWER(TRIM(text)), '\s+'),
+                    t -> t <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ), freq AS (
+                SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+            ), c AS (
+                SELECT n,
+                       SUM(n) OVER (ORDER BY n DESC, tok
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(n) OVER () AS total
+                FROM freq
+            )
+            SELECT COUNT(*) AS n_vocab,
+                   CAST(MAX(total) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN 2*cum < total THEN 1 ELSE 0 END) + 1
+                        AS BIGINT) AS n_top50,
+                   CAST(SUM(CASE WHEN 10*cum < 9*total THEN 1 ELSE 0 END) + 1
+                        AS BIGINT) AS n_top90,
+                   CAST(SUM(CASE WHEN 100*cum < 99*total THEN 1 ELSE 0 END) + 1
+                        AS BIGINT) AS n_top99
+            FROM c
+        """,
         "signup_purchase_funnel": """
             WITH s AS (
                 SELECT user_id, MIN(ts) AS signup_ts
