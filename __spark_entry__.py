@@ -5,7 +5,7 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 50 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 51 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup + duplicate-cluster components, the full
 LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
@@ -391,6 +391,40 @@ def _q_top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("p_brand", "p_partkey", "revenue", "rank")
         .orderBy("p_brand", "rank")
+    )
+
+
+def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per (region, nation) for one
+    order year — the 6-way star join. The two FACT tables join on orderkey
+    (the one genuinely large shuffle); every dimension (customer, supplier,
+    nation, region) broadcasts, and the year filter pushes to the orders
+    scan so the fact join only sees the selected year."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("region", "nation")
     )
 
 
@@ -1180,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_revenue": _q_segment_revenue,
         "events_sessionization": _q_events_sessionization,
         "top_parts_by_brand": _q_top_parts_by_brand,
+        "regional_revenue": _q_regional_revenue,
         "daily_quality_trend": _q_daily_quality_trend,
         "jaccard_exact_pairs": _q_jaccard_exact_pairs,
         "lsh_verified_pairs": _q_lsh_verified_pairs,
@@ -1828,6 +1863,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COALESCE(n_retained_next, 0) AS DOUBLE) / n_active, 6)
                      AS retention
             FROM act LEFT JOIN ret USING (week) ORDER BY week
+        """,
+        "regional_revenue": """
+            SELECT r_name AS region, n_name AS nation,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
         """,
         "daily_quality_trend": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
