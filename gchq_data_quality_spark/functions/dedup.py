@@ -554,16 +554,41 @@ def _lane_count(acc: Column, b: int) -> Column:
 
 def _assemble_simhash(acc: Column) -> Column:
     """64-bit fingerprint from the final packed accumulator: bit b set iff
-    more than half the shingle hashes have bit b set."""
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        bit = (
-            F.when(_lane_count(acc, b) * 2 > acc[16], F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        out = out.bitwiseOR(F.shiftleft(bit, b))
-    return out
+    more than half the shingle hashes have bit b set.
+
+    Shaped as a runtime fold over the 16 counter words instead of an
+    unrolled 64-term OR chain: the unrolled form built ~640 Column objects
+    — each a py4j round-trip — making EXPRESSION CONSTRUCTION the dominant
+    cost of every simhash query invocation (measured 2.2 s of the 4 s
+    driver-bench time at sf0.1, invariant to data size). The fold builds
+    ~40 Columns once; the 16 extra interpreted iterations per row are noise
+    next to the per-shingle fold.
+
+    Dynamic shift amounts aren't expressible (shiftleft/shiftrightunsigned
+    take literal bit counts), so: the lane shift within a word is a static
+    literal (4 lanes unrolled), and the word's bit position is a multiply
+    by a LITERAL power-of-two array (bit * 2^(4w), max 2^60 < 2^63 — no
+    ANSI overflow) followed by a static shiftleft for the lane offset
+    (bitwise, safely reaches the sign bit)."""
+    total = acc[16]
+    pow4w = F.array(*[F.lit(1 << (4 * w)).cast("long") for w in range(16)])
+
+    def word_step(out: Column, w: Column) -> Column:
+        word = F.get(acc, w)
+        res = out
+        for lane in range(4):
+            cnt = F.shiftrightunsigned(word, 16 * lane).bitwiseAND(F.lit(0xFFFF))
+            bit = (
+                F.when(cnt * 2 > total, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            res = res.bitwiseOR(F.shiftleft(bit * F.get(pow4w, w), lane))
+        return res
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)), F.lit(0).cast("long"), word_step
+    )
 
 
 def simhash_column(col: Column, k: int = 3, sample: int | None = None) -> Column:
@@ -634,10 +659,17 @@ def simhash_dedup_pairs(
     members per (rot, bucket) before the self-join, bounding the worst-case
     join fan-out the same way minhash_candidate_pairs does.
     """
+    # bind-once: simhash_rotations references its input ~11x, and each
+    # textual reference to a HOF-bearing subtree (the assembly fold)
+    # re-evaluates it — wrap the assembled fingerprint in transform(array)
+    # so the references become lambda-variable reads
     rot_buckets = _simhash_fold(
         F.col(text_col),
         3,
-        lambda acc: simhash_rotations(_assemble_simhash(acc), 4, prefix_bits),
+        lambda acc: F.transform(
+            F.array(_assemble_simhash(acc)),
+            lambda sim: simhash_rotations(sim, 4, prefix_bits),
+        )[0],
         sample=sample,
     )
     all_buckets = (
