@@ -166,9 +166,20 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     short-circuits for free. Only plans that *might* be under-partitioned pay
     the ``df.rdd`` DataFrame->RDD plan translation the partition count needs.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
+        # file count alone does not imply scan-partition count:
+        # FileSourceScan bin-packs small files (maxPartitionBytes padded by
+        # openCostInBytes per file), so N tiny files can read as far fewer
+        # than N partitions. Packing is bounded at maxPartitionBytes /
+        # openCostInBytes files per partition, so `count >= target * factor`
+        # guarantees >= target scan partitions for ANY file sizes; smaller
+        # counts fall through to the exact (costlier) partition probe.
+        max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304").rstrip("b"))
+        factor = max(1, max_part // max(open_cost, 1))
+        if len(df.inputFiles()) >= target * factor:
             return df
     except Exception:  # non-file source: fall through to the exact probe
         pass
@@ -505,7 +516,12 @@ def _simhash_fold(
     16 shift/mask/multiply/add lanes on struct fields — no per-shingle
     arrays at all (5.2 s).
     """
-    cap = _MAX_SIMHASH_SHINGLES if sample is None else sample
+    # clamp: a sample above _MAX_SIMHASH_SHINGLES would void the documented
+    # ANSI overflow bound (lane counts past 32767 push the packed
+    # accumulator's top lane over 2^63 mid-fold on ANSI sessions)
+    cap = _MAX_SIMHASH_SHINGLES if sample is None else min(
+        sample, _MAX_SIMHASH_SHINGLES
+    )
     raw = F.transform(_shingles(col, k), lambda s: F.xxhash64(s))
 
     def fold(hs: Column) -> Column:

@@ -175,20 +175,21 @@ def average_hash(pixels: np.ndarray) -> int:
     return value - (1 << 64) if value >= (1 << 63) else value
 
 
-IMAGE_AHASH_SCHEMA = "image_id string, ahash long, decode_ok boolean"
-
-
 def with_image_ahash(
     df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes",
     fmt_col: str = "fmt",
 ) -> DataFrame:
-    """(image_id, ahash, decode_ok) via batched mapInPandas decode.
+    """(<id_col>, ahash, decode_ok) via batched mapInPandas decode.
 
     Feed the result to ``dedup.fingerprint_pairs`` for perceptual near-dup
     pairs — the image-modality analogue of text simhash, sharing its
-    rotation-bucket LSH verification stage. Undecodable rows get NULL
-    ahash / decode_ok=false, never a task failure.
+    rotation-bucket LSH verification stage. The id column keeps the
+    caller's name and type. Undecodable or malformed rows (truncated
+    buffers included — ANY decode exception) get NULL ahash /
+    decode_ok=false, never a task failure.
     """
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_type}, ahash long, decode_ok boolean"
 
     def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -200,17 +201,19 @@ def with_image_ahash(
             ):
                 try:
                     img = decode_image(bytes(raw), fmt)
-                except (NotImplementedError, ValueError):
+                    hashes[i] = average_hash(img)
+                except Exception:
+                    # struct.error / IndexError / ValueError from corrupt
+                    # buffers all mean "not decodable", not "fail the task"
                     hashes[i] = None
                     continue
-                hashes[i] = average_hash(img)
                 ok[i] = True
             yield pd.DataFrame(
-                {"image_id": pdf[id_col], "ahash": hashes, "decode_ok": ok}
+                {id_col: pdf[id_col], "ahash": hashes, "decode_ok": ok}
             )
 
     return df.select(id_col, bytes_col, fmt_col).mapInPandas(
-        _hashes, schema=IMAGE_AHASH_SCHEMA
+        _hashes, schema=schema
     )
 
 

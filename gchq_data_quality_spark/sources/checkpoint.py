@@ -35,12 +35,15 @@ class CheckpointManifest:
             return json.loads(self.path.read_text())
         return {"completed": {}, "n_buckets": None}
 
-    def mark_done(self, bucket: int, rows: int, elapsed: float) -> None:
+    def mark_done(
+        self, bucket: int, rows: int, elapsed: float, extra: dict | None = None
+    ) -> None:
         state = self.load()
         state["completed"][str(bucket)] = {
             "rows": rows,
             "elapsed_sec": round(elapsed, 3),
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            **(extra or {}),
         }
         self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(".tmp")
@@ -55,6 +58,29 @@ class CheckpointManifest:
                 "use a fresh manifest to change bucketing"
             )
         state["n_buckets"] = n
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(state, indent=2))
+        tmp.replace(self.path)
+
+    def set_key_col(self, key_col: str) -> None:
+        """Pin the bucketing key. bucket = pmod(xxhash64(key_col), n) is only
+        stable across runs if the KEY is stable too: resuming a manifest
+        written under a different key (e.g. adding --dedup exact, which
+        re-keys buckets by the caption fingerprint, after a partial id-keyed
+        run) would silently mix bucketing schemes — completed buckets keyed
+        one way are skipped while pending buckets re-key the other way, so
+        rows can duplicate across output partitions or escape dedup
+        entirely. Mirrors set_n_buckets: raise on mismatch, adopt on a
+        legacy manifest that never recorded a key."""
+        state = self.load()
+        if state.get("key_col") not in (None, key_col):
+            raise ValueError(
+                f"Manifest bucketing key {state['key_col']!r} != requested "
+                f"{key_col!r}; use a fresh manifest to change the bucketing "
+                "key (e.g. when toggling --dedup)"
+            )
+        state["key_col"] = key_col
         self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(".tmp")
         tmp.write_text(json.dumps(state, indent=2))
@@ -89,8 +115,14 @@ def run_checkpointed(
     n_buckets: int = 8,
     buckets_per_batch: int = 2,
     resume: bool = True,
+    bucket_meta: dict | None = None,
 ) -> dict:
     """Process ``df`` in bucket batches, writing partition-by-bucket output.
+
+    ``bucket_meta``: extra fields stamped into every bucket completed by
+    THIS run (e.g. the job's ``{"audited": True}`` marker) — written
+    atomically with the completion record, so a crash can never leave a
+    bucket completed-but-unflagged.
 
     Returns a summary dict {buckets_run, buckets_skipped, rows_written}.
     """
@@ -99,6 +131,7 @@ def run_checkpointed(
 
     manifest = CheckpointManifest(manifest_path)
     manifest.set_n_buckets(n_buckets)
+    manifest.set_key_col(key_col)
     done = manifest.completed_buckets() if resume else set()
 
     bucketed = df.withColumn(
@@ -126,7 +159,7 @@ def run_checkpointed(
         }
         for b in batch:
             n = int(counts.get(b, 0))
-            manifest.mark_done(b, n, elapsed / len(batch))
+            manifest.mark_done(b, n, elapsed / len(batch), extra=bucket_meta)
             rows_written += n
 
     return {

@@ -222,6 +222,12 @@ def main(argv: list[str] | None = None) -> None:
         n_buckets=args.n_buckets,
         buckets_per_batch=args.buckets_per_batch,
         resume=args.resume,
+        # keep-only runs stamp completed buckets "audited": their pre-filter
+        # counts were persisted (or the bucket had zero input rows — the agg
+        # yields no row for those, and the stamp is what distinguishes a
+        # legitimately-empty bucket from a legacy/non-keep-only bucket whose
+        # counts were never recorded)
+        bucket_meta={"audited": True} if args.keep_only else None,
     )
     if dedup_fp_col is not None:
         stored_drops = run_manifest.get_meta("dedup_dropped")
@@ -238,15 +244,17 @@ def main(argv: list[str] | None = None) -> None:
         manifest = CheckpointManifest(args.manifest)
         stored = manifest.get_meta("audit_counts")
         completed = {str(b) for b in sorted(manifest.completed_buckets())}
-        # a completed bucket with no stored counts is fine IF it was empty
-        # (zero input rows -> the per-bucket agg yields no row for it); the
-        # manifest's per-bucket written-row count distinguishes that from a
-        # legacy manifest genuinely missing the counts for non-empty buckets
+        # a completed bucket with no stored counts is fine ONLY if it was
+        # completed by a keep-only run under the "audited" stamp (then the
+        # absence means zero input rows). A rows==0 bucket WITHOUT the stamp
+        # is ambiguous — under --keep-only a bucket whose rows were all
+        # dropped by the keep filter also writes 0 rows — so unstamped
+        # buckets are treated as missing, never as empty.
         state_completed = manifest.load()["completed"]
         missing = {
             b
             for b in completed - set(stored)
-            if int(state_completed.get(b, {}).get("rows", 0) or 0) != 0
+            if not state_completed.get(b, {}).get("audited")
         }
         if completed and not missing:
             totals: dict[str, int] = {}

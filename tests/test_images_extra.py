@@ -153,3 +153,29 @@ def test_assign_cells_rejects_empty_and_survives_nan(spark):
     )
     got = {r["vec_id"]: r["cell"] for r in assign_cells(df, cents).collect()}
     assert got[0] == 1  # matches the real centroid, not the NaN one
+
+
+def test_with_image_ahash_honours_id_col_and_survives_corrupt_buffers(spark):
+    """ADVICE r3 (low): the output id column must keep the caller's name and
+    type, and a truncated PPM buffer (struct-level garbage, not just an
+    unknown codec) must degrade to decode_ok=false — never a task failure."""
+    import numpy as np
+
+    from gchq_data_quality_spark.functions.images import encode_ppm, with_image_ahash
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = encode_ppm(img)
+    rows = [
+        (7, good, "ppm"),
+        (8, good[:5], "ppm"),          # truncated header
+        (9, b"P6\n8 8\n255\n\x00", "ppm"),  # truncated pixel payload
+        (10, None if False else b"", "ppm"),  # empty buffer
+    ]
+    df = spark.createDataFrame(rows, "img long, bytes binary, fmt string")
+    out = with_image_ahash(df, id_col="img")
+    assert out.columns == ["img", "ahash", "decode_ok"]
+    assert dict(out.dtypes)["img"] == "bigint"
+    got = {r.img: r for r in out.collect()}
+    assert got[7].decode_ok and got[7].ahash is not None
+    for bad in (8, 9, 10):
+        assert not got[bad].decode_ok and got[bad].ahash is None

@@ -129,7 +129,9 @@ def test_job_keep_only_legacy_manifest_keeps_audit(spark, tmp_path, capsys):
     before = spark.read.parquet(str(audit)).collect()
 
     state = json.loads(Path(manifest).read_text())
-    state.pop("meta")  # legacy manifest shape
+    state.pop("meta")  # legacy manifest shape: no per-bucket counts...
+    for entry in state["completed"].values():
+        entry.pop("audited", None)  # ...and no keep-only completion stamps
     # one bucket re-runs, three are skipped with no stored counts
     state["completed"].pop("0")
     Path(manifest).write_text(json.dumps(state))
@@ -224,3 +226,57 @@ def test_job_keep_only_writes_audit_despite_empty_buckets(spark, tmp_path, capsy
     capsys.readouterr()
     audit_rows = {r.rule_id: r for r in spark.read.parquet(str(audit)).collect()}
     assert audit_rows["caption_present"].records_evaluated == 60
+
+
+def test_job_dedup_toggle_on_resume_raises(spark, tmp_path, capsys):
+    """ADVICE r3 (medium): --dedup exact re-keys the checkpoint buckets by
+    the caption fingerprint. Resuming a manifest produced under the OTHER
+    keying would silently mix bucketing schemes (id-keyed completed buckets
+    skipped, fingerprint-keyed pending buckets re-run) — duplicates survive
+    and rows can land in two output partitions. The manifest pins the
+    bucketing key and the mismatch must raise, not resume."""
+    out, _, manifest = _run(tmp_path, [])
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="bucketing key"):
+        quality_filter_job.main(
+            [
+                "--synthetic", "400",
+                "--output", str(out),
+                "--audit", str(tmp_path / "audit2"),
+                "--manifest", str(manifest),
+                "--n-buckets", "4",
+                "--dedup", "exact",
+            ]
+        )
+
+
+def test_job_keep_only_unstamped_zero_row_bucket_warns(spark, tmp_path, capsys):
+    """ADVICE r3 (low): a completed bucket with rows==0 and NO keep-only
+    completion stamp is ambiguous — it may have had all its rows dropped by
+    the keep filter under a pre-stamp manifest — so its absent audit counts
+    must trigger the keep-existing-audit warning, never silent omission."""
+    out, audit, manifest = _run(tmp_path, ["--keep-only"])
+    before = spark.read.parquet(str(audit)).collect()
+
+    state = json.loads(Path(manifest).read_text())
+    bucket = next(iter(state["completed"]))
+    state["completed"][bucket].pop("audited", None)  # pre-stamp manifest
+    state["completed"][bucket]["rows"] = 0
+    state["meta"]["audit_counts"].pop(bucket, None)
+    Path(manifest).write_text(json.dumps(state))
+
+    with pytest.warns(UserWarning, match="audit counts missing"):
+        quality_filter_job.main(
+            [
+                "--synthetic", "400",
+                "--output", str(out),
+                "--audit", str(audit),
+                "--manifest", str(manifest),
+                "--n-buckets", "4",
+                "--buckets-per-batch", "2",
+                "--keep-only",
+            ]
+        )
+    capsys.readouterr()
+    after = spark.read.parquet(str(audit)).collect()
+    assert sorted(map(str, after)) == sorted(map(str, before))
