@@ -730,6 +730,7 @@ def fingerprint_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     max_bucket: int = 64,
+    n_rot: int = 4,
 ) -> DataFrame:
     """Near-dup pairs for an EXISTING 64-bit fingerprint column (perceptual
     image hashes, pre-computed simhashes, any hamming-comparable long):
@@ -737,14 +738,20 @@ def fingerprint_pairs(
     text simhash path uses, minus the shingle fold.
 
     A pair at hamming distance d survives if some rotation aligns
-    ``prefix_bits`` matching bits — with 4 rotations of 16 bits, any pair
-    with all its differing bits outside one 16-bit quadrant collides; the
-    within-bucket hamming check then verifies exactly.
+    ``prefix_bits`` matching bits. Recall is EXACTLY 1 for d < 64 /
+    prefix_bits (pigeonhole: with 4 rotations of 16 bits, <= 3 differing
+    bits always leave one clean quadrant); past that it degrades as more
+    of the n_rot 16-bit windows can be dirtied (d differing bits dirty at
+    most 2d of the overlapping windows). ``n_rot`` trades recall at larger
+    ``max_hamming`` against bucket-explosion cost: each extra rotation is
+    one more (rot, bucket) row per input row through the shuffle —
+    callers verifying at hamming ~8 (perceptual image hashes) should use
+    ``n_rot=8``; near-exact text simhash at hamming <= 3 keeps 4.
     """
     buckets = df.select(
         F.col(id_col).alias("id"),
         F.explode(
-            simhash_rotations(F.col(fp_col), 4, prefix_bits)
+            simhash_rotations(F.col(fp_col), n_rot, prefix_bits)
         ).alias("rb"),
     ).select(
         "id",

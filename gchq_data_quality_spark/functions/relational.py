@@ -179,23 +179,37 @@ def connected_components(
     id_b: str = "id_b",
     max_iters: int = 20,
     strict: bool = True,
+    method: str = "minid",
 ) -> DataFrame:
     """Exact connected components of an undirected edge list: (id, label)
     with ``label`` = the smallest id in the node's component.
 
-    Min-id label propagation run to CONVERGENCE (unlike minhash_dedup's
-    bounded variant): each round joins labels across edges and takes the
-    min; stops when no label changed. Rounds needed = graph diameter; each
-    round shuffles only the edge list (the near-dup graph, orders of
-    magnitude smaller than the corpus). The convergence probe is a 1-row
-    count, and each round's result is localCheckpoint-ed so lineage (and
-    recomputation) stays O(1) per round.
+    ``method="minid"`` (default): min-id label propagation run to
+    CONVERGENCE (unlike minhash_dedup's bounded variant): each round joins
+    labels across edges and takes the min; stops when no label changed.
+    Rounds needed = graph DIAMETER; each round shuffles only the edge list
+    (the near-dup graph, orders of magnitude smaller than the corpus). The
+    convergence probe is a 1-row count, and each round's result is
+    localCheckpoint-ed so lineage (and recomputation) stays O(1) per round.
+    The right default for near-dup clusters, which are shallow near-cliques
+    (diameter 2-3).
 
-    ``strict=True`` (default) raises RuntimeError if labels are still
-    changing after ``max_iters`` rounds — silently returning split
-    components would corrupt every downstream dedup decision. Pass
-    ``strict=False`` to accept bounded propagation (minhash_dedup-style).
+    ``method="star"``: alternating large-star/small-star contractions
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds regardless of diameter, the difference
+    between 6 and 60 shuffles on a pathological chain at 100x scale. Same
+    output contract; pick it when components may be long paths (temporal
+    chains, linkage graphs).
+
+    ``strict=True`` (default) raises RuntimeError if still converging
+    after ``max_iters`` rounds — silently returning split components would
+    corrupt every downstream dedup decision. Pass ``strict=False`` to
+    accept bounded propagation (minhash_dedup-style; minid only).
     """
+    if method == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iters, strict)
+    if method != "minid":
+        raise ValueError(f"unknown method {method!r}: use 'minid' or 'star'")
     # materialise the edge list ONCE: every iteration joins it, and without
     # the checkpoint each round would re-run the whole upstream pipeline
     # that produced the pairs (e.g. LSH + exact verification — measured 3x
@@ -240,3 +254,93 @@ def connected_components(
             "pass strict=False to accept bounded propagation"
         )
     return labels
+
+
+def _star_checksum(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-independent xor of edge hashes) — the convergence
+    probe. bit_xor never overflows, so the probe is ANSI-safe at any edge
+    count; a checksum collision between DIFFERENT consecutive edge sets
+    needs a 64-bit xor coincidence at equal cardinality."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("x"),
+    ).collect()[0]
+    return int(row["n"]), int(row["x"])
+
+
+def _connected_components_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iters: int, strict: bool
+) -> DataFrame:
+    """Alternating large-star / small-star contraction. Edges are kept
+    CANONICAL (hi > lo) throughout — both operations preserve that
+    orientation because every emitted edge points a node at a value no
+    larger than its neighborhood minimum.
+
+    large-star: for each node u, hook every LARGER neighbor v onto
+    m = min(neighborhood(u) + {u}).
+    small-star: orient edges larger->smaller; for each hub u, hook u and
+    all its smaller neighbors onto their minimum.
+
+    Both are join-based (per-node min via groupBy + one equi-join back),
+    never a collect_list — a hot hub node costs a wide join fan-out, not
+    an unbounded in-memory array. Each round localCheckpoints the edge
+    set: O(1) lineage, and the convergence checksum reads the
+    materialised set. Converges in O(log n) rounds (Kiveris et al.);
+    at convergence the edge set IS the star forest (node -> component
+    min), which is exactly the output contract."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    checksum = _star_checksum(edges)
+    converged = False
+    for _ in range(max_iters):
+        # ---- large-star ----
+        bidir = edges.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).union(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        edges = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # ---- small-star ----
+        mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = edges.join(mins, "hi")
+        edges = (
+            joined.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("lo").alias("hi"), F.col("m").alias("lo")),
+                        F.struct(F.col("hi").alias("hi"), F.col("m").alias("lo")),
+                    )
+                ).alias("e")
+            )
+            .select("e.hi", "e.lo")
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_checksum = _star_checksum(edges)
+        if new_checksum == checksum:
+            converged = True
+            break
+        checksum = new_checksum
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components(method='star') did not converge in "
+            f"{max_iters} rounds; raise max_iters"
+        )
+    return edges.select(F.col("hi").alias("id"), F.col("lo").alias("label")).union(
+        edges.select(F.col("lo").alias("id"), F.col("lo").alias("label"))
+    ).distinct()

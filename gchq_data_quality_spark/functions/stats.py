@@ -121,3 +121,43 @@ def groupwise_outlier_counts(
             F.sum(is_outlier.cast("long")).alias("n_outliers"),
         )
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    approximate: bool = False,
+    accuracy: int = 10_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group quantiles of ``value_col`` — the latency-dashboard shape.
+
+    ``approximate=False`` (default): exact interpolated percentiles
+    (``F.percentile``). Spark buffers every group's values in the
+    aggregation state, so memory per task is O(largest group) — fine while
+    groups fit an executor, the oracle baseline for tests.
+
+    ``approximate=True``: the declared 100-TB path (mirror of
+    UniquenessRule's ``approximate=True`` HLL mode). ``approx_percentile``
+    aggregates a bounded Greenwald-Khanna-style sketch instead of the raw
+    values: state is O(accuracy * log n) per group REGARDLESS of group
+    size, and sketches merge associatively, so the partial/final
+    hash-aggregate stays map-side-combining with no per-group sort or
+    buffer. Error bound: the returned value's RANK is within
+    ``1/accuracy`` of the requested quantile (accuracy=10000 -> rank error
+    <= 0.01 percentile points); the VALUE error that implies depends on
+    the local density of the distribution, which is what the sf0.01
+    exact-vs-approx agreement test asserts in practice.
+    """
+    v = F.col(value_col)
+    aggs = [F.count(v).alias("n")]
+    for q in quantiles:
+        name = f"p{str(q)[2:].ljust(2, '0')}" if q < 1 else "p100"
+        if approximate:
+            expr = F.approx_percentile(v, F.lit(q), F.lit(accuracy))
+        else:
+            expr = F.percentile(v, F.lit(q))
+        aggs.append(F.round(expr, round_to).alias(name))
+    return df.groupBy(*group_cols).agg(*aggs).orderBy(*group_cols)

@@ -53,6 +53,26 @@ def format_records_failed_sample(
     return values[:limit]
 
 
+def get_records_failed_ids(
+    failed_mask: list, index: list | None = None, max_samples: int = 10
+) -> list:
+    """Row labels where ``failed_mask`` is True, first ``max_samples``
+    (parity: reference rules/utils/rules_utils.py:81-117, golden cases
+    get_records_failed_ids.yaml). ``index`` defaults to positional row
+    numbers — the reference's pandas RangeIndex; Spark mode replaces
+    positional ids with stable ids upstream (engine.py), so this util
+    exists for report/API parity, not the hot path. Raises ValueError on a
+    mask/index length mismatch like the reference's reindex contract."""
+    if index is None:
+        index = list(range(len(failed_mask)))
+    if len(index) != len(failed_mask):
+        raise ValueError(
+            f"failed_mask length {len(failed_mask)} != index length {len(index)}"
+        )
+    out = [i for i, m in zip(index, failed_mask, strict=True) if bool(m)]
+    return out[:max_samples]
+
+
 def records_failed_ids_are_int(records_failed_ids: list) -> bool:
     """True iff every failed-record id is an integer (parity: reference
     results/utils.py:128-146; golden cases records_failed_ids_are_int.yaml —

@@ -160,3 +160,30 @@ def test_flatten_spark_reference_signature(spark):
 
     plain = flatten_spark(df, ["owner_id"])
     assert plain is df  # short-circuit parity: nothing nested
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("create_spark_dataframe"),
+    ids=lambda c: c["description"][:60],
+)
+def test_create_spark_dataframe_golden(spark, nested_df, case):
+    """Reference golden cases for single-field extraction (tests/data/
+    create_spark_dataframe.yaml, driven by spark/test_dataframe_operations
+    .py:58-77): flatten ONE path with keep_cols -> exact output column set
+    and post-explosion row count. Our flatten(df, [field], keep_cols) is
+    the same contract as the reference's _create_spark_dataframe."""
+    field = case["inputs"]["field"]
+    keep_cols = case["inputs"].get("keep_cols") or []
+    expected = case["expected"]
+    flat_df, mapping = flatten(nested_df, [field], keep_cols=keep_cols)
+    # the reference projects keep_cols + [field] even when nothing is
+    # nested (_select_field); our flatten() short-circuits unchanged for
+    # the multi-path engine, so apply the same projection here
+    flat_df = flat_df.select(*keep_cols, mapping[field])
+    assert len(flat_df.columns) == len(expected["columns"])
+    assert set(flat_df.columns) == set(expected["columns"]), (
+        field,
+        flat_df.columns,
+    )
+    assert flat_df.count() == expected["row_count"]

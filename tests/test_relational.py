@@ -409,3 +409,129 @@ def test_asof_right_tie_choice_is_stable(spark):
         ).collect()
         vals.add(row["val"])
     assert len(vals) == 1
+
+
+# ---------------------------------------------------------------------------
+# connected_components: star contraction (method="star")
+# ---------------------------------------------------------------------------
+
+def test_star_components_match_minid_on_mixed_graph(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+             (20, 21), (30, 31), (31, 32), (30, 33), (33, 34)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    minid = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+    star = {
+        r["id"]: r["label"]
+        for r in connected_components(pairs, method="star").collect()
+    }
+    assert star == minid
+
+
+def test_star_components_converge_logarithmically_on_long_chain(spark):
+    """VERDICT r3 Next #6: a depth-63 path (diameter 63) needs ~62 min-id
+    propagation rounds but must converge for the star variant within
+    ceil(log2(64)) + c rounds — the O(log n) vs O(diameter) difference
+    that matters at 100x scale. strict=True turns the round bound into an
+    assertion: convergence inside max_iters or RuntimeError."""
+    n = 64
+    chain = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+
+    # min-id cannot finish a diameter-63 chain in 10 rounds
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=10)
+
+    # star converges within ceil(log2(64)) + 4 = 10 rounds, labels exact
+    labels = {
+        r["id"]: r["label"]
+        for r in connected_components(pairs, method="star", max_iters=10).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_star_components_random_graphs_match_union_find(spark):
+    """Differential: random sparse graphs vs a driver-side union-find."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(int(n * 0.8))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for a, b in edges:
+            for v in (a, b):
+                root = find(v)
+                while parent[root] != root:
+                    root = parent[root]
+                expected[v] = root
+        # canonical label = component min
+        comp_min = {}
+        for v, r in expected.items():
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {v: comp_min[r] for v, r in expected.items()}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {
+            r["id"]: r["label"]
+            for r in connected_components(pairs, method="star").collect()
+        }
+        assert star == expected, f"trial {trial}"
+
+
+def test_dedup_cluster_sizes_unchanged_under_star_flag(spark):
+    """The driver query's oracle-attested result must be method-invariant:
+    swapping the component algorithm changes the plan, never the labels."""
+    from gchq_data_quality_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).localCheckpoint()
+    a = connected_components(pairs).orderBy("id").collect()
+    b = connected_components(pairs, method="star").orderBy("id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_group_percentiles_approx_agrees_with_exact_at_sf001(spark):
+    """VERDICT r3 Next #7: the approximate (sketch-state) percentile mode
+    must agree with the exact buffered mode within tolerance on real data.
+    accuracy=10000 bounds RANK error at 1/10000; the VALUE error adds the
+    local gap between adjacent order statistics because approx returns an
+    actual element where exact interpolates — on the sf0.01 events
+    distribution both effects stay under 1% at every probed quantile."""
+    from gchq_data_quality_spark.functions.stats import group_percentiles
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        r["event_type"]: r
+        for r in group_percentiles(events, ["event_type"], "value").collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in group_percentiles(
+            events, ["event_type"], "value", approximate=True
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for etype, e in exact.items():
+        a = approx[etype]
+        assert a["n"] == e["n"]
+        for q in ("p50", "p95", "p99"):
+            if e[q] is None:
+                assert a[q] is None
+                continue
+            tol = max(abs(e[q]) * 0.01, 1e-6)
+            assert abs(a[q] - e[q]) <= tol, (etype, q, e[q], a[q])

@@ -509,3 +509,25 @@ def test_shift_records_failed_ids_case(case):
         case["inputs"]["records_failed_ids"], case["inputs"]["shift"]
     )
     assert got == case["expected"]["shifted_row_numbers"]
+
+
+from gchq_data_quality_spark.results import get_records_failed_ids  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "case",
+    load_cases("get_records_failed_ids"),
+    ids=case_ids(load_cases("get_records_failed_ids")),
+)
+def test_get_records_failed_ids_case(case):
+    """Reference golden cases (tests/data/get_records_failed_ids.yaml):
+    positional ids of True mask entries, first max_samples. The corpus dfs
+    all use the default RangeIndex, so index defaults to row numbers."""
+    inputs = case["inputs"]
+    n_rows = len(next(iter(inputs["df"].values())))
+    got = get_records_failed_ids(
+        inputs["failed_mask"],
+        index=list(range(n_rows)),
+        max_samples=inputs["max_samples"],
+    )
+    assert got == case["expected"]["records_failed_ids"]
