@@ -15,9 +15,10 @@ outlier screens, per-group exact percentiles, sliding event-time windows,
 token-window document chunking, deterministic train/val/test splitting,
 per-source data mixing, cohort retention, signup-to-purchase conversion
 funnels, anti-join lapsed-customer screens, perceptual image near-dup,
-classic join/agg plans, corpus n-gram statistics), 42 paired with ANSI SQL
+the fingerprint bucket/verify engine over planted fingerprints,
+classic join/agg plans, corpus n-gram statistics), 45 paired with ANSI SQL
 DuckDB oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
-candidate counts, langid, audio/video binary decode) omit the oracle and
+candidate counts, langid, simhash pair rows, media binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
 (tests/test_entry_oracle.py asserts type parity per query).

@@ -28,10 +28,22 @@ on top of the window's partitioning.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gchq_data_quality_spark.functions.text import fingerprint
+
+# Expression memoisation: building the wide signature folds costs real
+# per-invocation time — every Column op is a py4j round-trip (~3 ms), and
+# the minhash/simhash folds are hundreds of ops (~0.6 s per QUERY
+# CONSTRUCTION, measured round 4; the 64-term simhash assembly was 2.2 s
+# before being reshaped as a runtime fold). Unresolved Column trees are
+# immutable, capture no SparkSession/conf state, and stay valid for the
+# lifetime of the JVM gateway, so identical (column name, params) requests
+# reuse one tree. Keyed by COLUMN NAME, not Column object — callers pass
+# names.
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +219,12 @@ def _minhash_signature(shingle_col: Column, n_hashes: int) -> Column:
     return F.aggregate(shingle_col, init, _family_min_step(coeffs))
 
 
+@lru_cache(maxsize=128)
+def _hashed_shingles_expr(col_name: str, k: int) -> Column:
+    """Memoised ``_hashed_shingles(F.col(col_name), k)`` (see module note)."""
+    return _hashed_shingles(F.col(col_name), k)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, k: int = 5
 ) -> DataFrame:
@@ -255,6 +273,12 @@ def _minhash_band_buckets(
     return F.aggregate(shingle_col, init, step, finish)
 
 
+@lru_cache(maxsize=128)
+def _band_buckets_expr(col_name: str, n_hashes: int, bands: int) -> Column:
+    """Memoised band-bucket fold over a NAMED hashed-shingle column."""
+    return _minhash_band_buckets(F.col(col_name), n_hashes, bands)
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -281,7 +305,7 @@ def minhash_candidate_pairs(
         df = _ensure_parallelism(df)
     shingled = df.select(
         F.col(id_col).alias("id"),
-        _hashed_shingles(F.col(text_col), k).alias("sh"),
+        _hashed_shingles_expr(text_col, k).alias("sh"),
     )
     return _candidates_from_shingled(shingled, n_hashes, bands, max_bucket)
 
@@ -295,7 +319,7 @@ def _candidates_from_shingled(
     banded = shingled.select(
         "id",
         F.explode(
-            _minhash_band_buckets(F.col("sh"), n_hashes, bands)
+            _band_buckets_expr("sh", n_hashes, bands)
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
@@ -384,7 +408,7 @@ def ngram_jaccard_pairs(
     """
     base = _ensure_parallelism(df)
     shingled = base.select(
-        F.col(id_col).alias("id"), _hashed_shingles(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("id"), _hashed_shingles_expr(text_col, k).alias("sh")
     )
     if materialize_shingles:
         shingled = shingled.localCheckpoint()
@@ -675,19 +699,7 @@ def simhash_dedup_pairs(
     members per (rot, bucket) before the self-join, bounding the worst-case
     join fan-out the same way minhash_candidate_pairs does.
     """
-    # bind-once: simhash_rotations references its input ~11x, and each
-    # textual reference to a HOF-bearing subtree (the assembly fold)
-    # re-evaluates it — wrap the assembled fingerprint in transform(array)
-    # so the references become lambda-variable reads
-    rot_buckets = _simhash_fold(
-        F.col(text_col),
-        3,
-        lambda acc: F.transform(
-            F.array(_assemble_simhash(acc)),
-            lambda sim: simhash_rotations(sim, 4, prefix_bits),
-        )[0],
-        sample=sample,
-    )
+    rot_buckets = _rot_buckets_expr(text_col, 3, prefix_bits, sample)
     all_buckets = (
         _ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), F.explode(rot_buckets).alias("rb"))
@@ -699,6 +711,27 @@ def simhash_dedup_pairs(
         )
     )
     return _capped_hamming_pairs(all_buckets, max_bucket, max_hamming)
+
+
+@lru_cache(maxsize=128)
+def _rot_buckets_expr(
+    col_name: str, k: int, prefix_bits: int, sample: int | None, n_rot: int = 4
+) -> Column:
+    """Memoised simhash fold whose ``finish`` assembles the fingerprint AND
+    its rotation buckets — one shingle traversal per row regardless of
+    rotation count. bind-once: simhash_rotations references its input ~11x,
+    and each textual reference to a HOF-bearing subtree (the assembly fold)
+    re-evaluates it — wrapping the assembled fingerprint in
+    transform(array) makes the references lambda-variable reads."""
+    return _simhash_fold(
+        F.col(col_name),
+        k,
+        lambda acc: F.transform(
+            F.array(_assemble_simhash(acc)),
+            lambda sim: simhash_rotations(sim, n_rot, prefix_bits),
+        )[0],
+        sample=sample,
+    )
 
 
 def _capped_hamming_pairs(
