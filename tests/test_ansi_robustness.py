@@ -124,3 +124,24 @@ def test_sampling_hash_and_new_queries_under_ansi(ansi):
         "signup_purchase_funnel",
     ):
         assert qs[name](ansi, sf).count() > 0, name
+
+
+def test_round4_queries_under_ansi(ansi):
+    """Round-4 additions: the planted-fingerprint derivation multiplies
+    31-bit-bounded quadrant values by powers of two summing below 2^63;
+    the vocab closed-form threshold arithmetic peaks at 100*total_tokens;
+    the simhash assembly fold's bit placement multiplies {0,1} by <= 2^60
+    before a static shift. All must run to completion under ANSI."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "fingerprint_pairs_oracle",
+        "vocab_coverage",
+        "simhash_pairs",
+        "image_neardup_pairs",
+        "media_features",
+        "value_percentiles_by_type",
+    ):
+        assert qs[name](ansi, sf).count() > 0, name
