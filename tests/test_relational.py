@@ -389,9 +389,9 @@ def test_connected_components_strict_raises_on_nonconvergence(spark):
     chain = [(i, i + 1) for i in range(24)]  # diameter 24 > 3 rounds
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iters=3)
+        connected_components(pairs, max_iters=3, small_graph_edges=0)
     # bounded mode returns without raising (labels partially propagated)
-    labels = connected_components(pairs, max_iters=3, strict=False)
+    labels = connected_components(pairs, max_iters=3, strict=False, small_graph_edges=0)
     assert labels.count() == 25
 
 
@@ -419,10 +419,13 @@ def test_star_components_match_minid_on_mixed_graph(spark):
     edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
              (20, 21), (30, 31), (31, 32), (30, 33), (33, 34)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    minid = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+    minid = {
+        r["id"]: r["label"]
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
     star = {
         r["id"]: r["label"]
-        for r in connected_components(pairs, method="star").collect()
+        for r in connected_components(pairs, method="star", small_graph_edges=0).collect()
     }
     assert star == minid
 
@@ -439,12 +442,14 @@ def test_star_components_converge_logarithmically_on_long_chain(spark):
 
     # min-id cannot finish a diameter-63 chain in 10 rounds
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iters=10)
+        connected_components(pairs, max_iters=10, small_graph_edges=0)
 
     # star converges within ceil(log2(64)) + 4 = 10 rounds, labels exact
     labels = {
         r["id"]: r["label"]
-        for r in connected_components(pairs, method="star", max_iters=10).collect()
+        for r in connected_components(
+            pairs, method="star", max_iters=10, small_graph_edges=0
+        ).collect()
     }
     assert labels == {i: 0 for i in range(n)}
 
@@ -488,7 +493,9 @@ def test_star_components_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         star = {
             r["id"]: r["label"]
-            for r in connected_components(pairs, method="star").collect()
+            for r in connected_components(
+                pairs, method="star", small_graph_edges=0
+            ).collect()
         }
         assert star == expected, f"trial {trial}"
 
@@ -500,8 +507,12 @@ def test_dedup_cluster_sizes_unchanged_under_star_flag(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).localCheckpoint()
-    a = connected_components(pairs).orderBy("id").collect()
-    b = connected_components(pairs, method="star").orderBy("id").collect()
+    a = connected_components(pairs, small_graph_edges=0).orderBy("id").collect()
+    b = connected_components(
+        pairs, method="star", small_graph_edges=0
+    ).orderBy("id").collect()
+    c = connected_components(pairs).orderBy("id").collect()  # union-find path
+    assert [tuple(r) for r in a] == [tuple(r) for r in c]
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
