@@ -8,7 +8,7 @@ built from pyspark.sql.functions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # A compact stopword list for quality scoring (top English function words).
@@ -236,4 +236,117 @@ def chunk_documents(
             F.col("c.n_tokens").alias("n_tokens"),
             F.col("c.chunk_text").alias("chunk_text"),
         )
+    )
+
+
+def coverage_counts(freq: DataFrame, n_col: str = "n") -> DataFrame:
+    """Vocabulary coverage curve from a (token -> count) frequency table:
+    one row ``(n_vocab, total_tokens, n_top50, n_top90, n_top99)`` — how
+    many distinct tokens (taken most-frequent-first) cover 50/90/99% of
+    total token mass. Tokenizer-budget statistics for corpus planning.
+
+    Scale shape (no global window anywhere in the plan):
+
+    1. The coverage counts are INVARIANT to ordering among equal-frequency
+       tokens, so the vocabulary collapses to one row per DISTINCT
+       frequency value ``(n, cnt)`` — O(sqrt(total_tokens)) rows by the
+       standard distinct-frequency bound, vs 10^8-10^9 vocabulary rows
+       for a 100 TB corpus.
+    2. That tiny table is banded by the exact integer bit-length of ``n``
+       (``length(bin(n))`` — no float log2 edge cases); the cumulative sum
+       runs WITHIN bands (parallel window over <= 64 partitions) and the
+       <= 64 per-band totals are prefix-offset driver-side.
+    3. Within an equal-frequency run of ``cnt`` tokens starting at
+       cumulative mass ``base``, the number of tokens satisfying
+       ``C*cum < D*total`` is closed-form:
+       ``clamp((D*total - C*base - 1) div (C*n), 0, cnt)`` —
+       integer-exact, so the result matches the naive per-token
+       cumulative window bit-for-bit (randomised differential test in
+       tests/test_relational.py pins this against a Python reference).
+
+    The distinct-frequency table is localCheckpoint-ed: the band-total
+    collect and the final aggregate both read the materialised table
+    instead of re-running the corpus-wide aggregation twice.
+    """
+    from pyspark.sql import Window
+
+    by_n = (
+        freq.groupBy(F.col(n_col).alias("n"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("band", F.length(F.bin("n")))
+        .localCheckpoint()
+    )
+    band_rows = sorted(
+        by_n.groupBy("band")
+        .agg(
+            F.sum(F.col("n") * F.col("cnt")).alias("mass"),
+            F.sum("cnt").alias("toks"),
+        )
+        .collect(),
+        key=lambda r: -r["band"],
+    )
+    mass_off: dict[int, int] = {}
+    run_mass = 0
+    n_vocab = 0
+    for r in band_rows:
+        mass_off[r["band"]] = run_mass
+        run_mass += r["mass"]
+        n_vocab += r["toks"]
+    total = run_mass
+    off_entries = [F.lit(x) for kv in mass_off.items() for x in kv]
+    off_map = F.create_map(*off_entries) if off_entries else F.create_map()
+    # mass accumulated BEFORE this n-run: band prefix + exclusive
+    # within-band cumulation (n is unique per row after the groupBy, so
+    # desc(n) alone is a total order within the band)
+    w = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("n"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = by_n.select(
+        "n",
+        "cnt",
+        (
+            off_map[F.col("band")].cast("long")
+            + F.coalesce(
+                F.sum(F.col("n") * F.col("cnt")).over(w), F.lit(0).cast("long")
+            )
+        ).alias("base"),
+    )
+    # tokens i in [1, cnt] with c*(base + i*n) < d*total, closed form:
+    # clamp((d*total - c*base - 1) div (c*n), 0, cnt). Integer `div` keeps
+    # the arithmetic exact past 2^53 (no double round-trip); trunc-vs-floor
+    # only differ for negative numerators, where the clamp lands on the
+    # true count 0 either way.
+    thresholds = {"n_top50": (2, 1), "n_top90": (10, 9), "n_top99": (100, 99)}
+    numdens = cb.select(
+        "cnt",
+        *[
+            c
+            for name, (cm, dm) in thresholds.items()
+            for c in (
+                (F.lit(dm * total) - F.lit(cm) * F.col("base") - 1).alias(
+                    f"num_{name}"
+                ),
+                (F.lit(cm) * F.col("n")).alias(f"den_{name}"),
+            )
+        ],
+    )
+    clamped = numdens.select(
+        *[
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("cnt"), F.expr(f"num_{name} div den_{name}")),
+            ).alias(name)
+            for name in thresholds
+        ]
+    )
+    return clamped.agg(
+        *[(F.sum(name) + 1).alias(name) for name in thresholds]
+    ).select(
+        F.lit(n_vocab).cast("long").alias("n_vocab"),
+        F.lit(total).cast("long").alias("total_tokens"),
+        "n_top50",
+        "n_top90",
+        "n_top99",
     )

@@ -546,3 +546,43 @@ def test_group_percentiles_approx_agrees_with_exact_at_sf001(spark):
                 continue
             tol = max(abs(e[q]) * 0.01, 1e-6)
             assert abs(a[q] - e[q]) <= tol, (etype, q, e[q], a[q])
+
+
+def test_coverage_counts_matches_naive_cumsum_reference(spark):
+    """Randomised differential for the closed-form coverage arithmetic
+    (functions/text.coverage_counts): the banded/closed-form plan must
+    match a naive sort + cumulative-sum Python reference bit-for-bit on
+    frequency tables with heavy equal-count runs, singletons, and skewed
+    heads — the shapes where trunc-div vs floor-div or an off-by-one in
+    the run arithmetic would show."""
+    from gchq_data_quality_spark.functions.text import coverage_counts
+
+    rng = random.Random(13)
+    for trial in range(5):
+        counts = (
+            [rng.randint(1, 4) for _ in range(rng.randint(5, 120))]
+            + [rng.randint(1, 10_000) for _ in range(rng.randint(1, 30))]
+            + [1] * rng.randint(0, 200)
+        )
+        freq = spark.createDataFrame(
+            [(f"t{i}", c) for i, c in enumerate(counts)], "tok string, n long"
+        )
+        row = coverage_counts(freq).collect()[0]
+
+        ordered = sorted(counts, reverse=True)
+        total = sum(ordered)
+        expected = {"n_vocab": len(ordered), "total_tokens": total}
+        for name, (cm, dm) in (
+            ("n_top50", (2, 1)),
+            ("n_top90", (10, 9)),
+            ("n_top99", (100, 99)),
+        ):
+            cum = 0
+            strict_below = 0
+            for c in ordered:
+                cum += c
+                if cm * cum < dm * total:
+                    strict_below += 1
+            expected[name] = strict_below + 1
+        got = {k: row[k] for k in expected}
+        assert got == expected, f"trial {trial}: {got} != {expected}"
