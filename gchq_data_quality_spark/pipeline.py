@@ -137,35 +137,45 @@ class QualityFilterPipeline:
         def null_guard(expr):
             return F.when(caption.isNull(), F.lit(None)).otherwise(expr)
 
-        df = (
-            df.withColumn("caption_len", F.length(caption))
-            .withColumn("alpha_ratio", null_guard(text_fns.alpha_ratio(caption)))
-            .withColumn("repetition", null_guard(text_fns.repetition_ratio(caption)))
-        )
+        # one withColumns batch per projection step: every chained
+        # withColumn call re-runs the analyzer over the growing plan —
+        # measured ~1 s of the annotate() construction time at 20+ calls
+        derived = {
+            "caption_len": F.length(caption),
+            "alpha_ratio": null_guard(text_fns.alpha_ratio(caption)),
+            "repetition": null_guard(text_fns.repetition_ratio(caption)),
+        }
         if c.check_image_metadata:
-            df = df.withColumn(
-                "meta_ok",
-                metadata_consistent(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")),
+            derived["meta_ok"] = metadata_consistent(
+                F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt")
             )
+        df = df.withColumns(derived)
         if self.langid_model is not None and self.ppl_model is not None:
             # fused scorer: one Arrow round-trip for both models (scoring.py)
             from gchq_data_quality_spark.functions.scoring import scores_udf
 
             udf = scores_udf(df.sparkSession, self.langid_model, self.ppl_model)
-            df = (
+            return (
                 df.withColumn("__scores", udf(caption))
-                .withColumn("lang", F.col("__scores.lang"))
-                .withColumn("lang_confidence", F.col("__scores.confidence"))
-                .withColumn("ppl", F.col("__scores.ppl"))
+                .withColumns(
+                    {
+                        "lang": F.col("__scores.lang"),
+                        "lang_confidence": F.col("__scores.confidence"),
+                        "ppl": F.col("__scores.ppl"),
+                    }
+                )
                 .drop("__scores")
             )
-            return df
         if self.langid_model is not None:
             udf = langid_udf(df.sparkSession, self.langid_model)
             df = (
                 df.withColumn("__lid", udf(caption))
-                .withColumn("lang", F.col("__lid.lang"))
-                .withColumn("lang_confidence", F.col("__lid.confidence"))
+                .withColumns(
+                    {
+                        "lang": F.col("__lid.lang"),
+                        "lang_confidence": F.col("__lid.confidence"),
+                    }
+                )
                 .drop("__lid")
             )
         if self.ppl_model is not None:
@@ -183,21 +193,25 @@ class QualityFilterPipeline:
         derived = self.derive(df)
         compiled = self._compiled(derived)
 
+        # single withColumns batch (one analyzer pass instead of ~18).
+        # `keep` references the flag EXPRESSIONS, not the added columns —
+        # identical values, and the flags are cheap boolean exprs over
+        # derived columns (never the scoring UDFs, which live behind plain
+        # column refs after derive()), so the duplication is codegen-CSE'd.
+        flags: dict = {}
         keep = F.lit(True)
-        out = derived
         for cr in compiled:
             rid = cr.rule.rule_id
-            out = out.withColumn(f"dq_{rid}_evaluated", cr.evaluated)
-            out = out.withColumn(f"dq_{rid}_passing", cr.passing_filled())
-            keep = keep & (F.col(f"dq_{rid}_passing") | ~F.col(f"dq_{rid}_evaluated"))
-        out = out.withColumn("keep", keep)
-        out = out.withColumn(
-            "caption_scrubbed",
-            F.when(F.col(c.caption_col).isNull(), F.lit(None)).otherwise(
-                c.scrubber.apply(F.col(c.caption_col))
-            ),
-        )
-        return out
+            evaluated = cr.evaluated
+            passing = cr.passing_filled()
+            flags[f"dq_{rid}_evaluated"] = evaluated
+            flags[f"dq_{rid}_passing"] = passing
+            keep = keep & (passing | ~evaluated)
+        flags["keep"] = keep
+        flags["caption_scrubbed"] = F.when(
+            F.col(c.caption_col).isNull(), F.lit(None)
+        ).otherwise(c.scrubber.apply(F.col(c.caption_col)))
+        return derived.withColumns(flags)
 
     # ------------------------------------------------------------------
     def audit_agg_exprs(self) -> list:
