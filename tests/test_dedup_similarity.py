@@ -326,3 +326,59 @@ def test_simhash_bottomk_sampling_finds_long_near_dups(spark):
     }
     assert (0, 1) in pairs, pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_randomized_python_differential(spark):
+    """Randomised differential for the runtime-fold assembly (r4 rewrite):
+    20 random documents, each simhash checked bit-for-bit against a pure
+    Python majority vote over Spark's own xxhash64 of the shingles. Pins
+    the word-fold bit placement (bit * 2^(4w) << lane) across many random
+    counter patterns, including sign-bit cases."""
+    import random
+    import re
+
+    from gchq_data_quality_spark.functions.dedup import simhash_column
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(3, 80))) for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", simhash_column(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+
+    all_shingles = set()
+    per_doc = {}
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.lower())
+        sh = list(dict.fromkeys(norm[j : j + 3] for j in range(len(norm) - 2)))
+        if not sh:
+            sh = [norm]
+        per_doc[i] = sh
+        all_shingles.update(sh)
+    hs = {
+        r[0]: r[1] & ((1 << 64) - 1)
+        for r in spark.createDataFrame([(s,) for s in sorted(all_shingles)], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    saw_negative = False
+    for i, sh in per_doc.items():
+        n = len(sh)
+        expected = 0
+        for b in range(64):
+            c = sum(hs[s] >> b & 1 for s in sh)
+            if c * 2 > n:
+                expected |= 1 << b
+        if expected >= 1 << 63:
+            expected -= 1 << 64
+            saw_negative = True
+        assert got[i] == expected, f"doc {i}"
+    assert saw_negative  # the sign-bit placement path was exercised
