@@ -303,7 +303,7 @@ def run_scaling(
 
 
 def bench_queries(
-    spark, sf_dir: str, rounds: int = 3
+    spark, sf_dir: str, rounds: int = 4
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Time a representative slice of the queries() surface at sf_dir.
 
@@ -373,7 +373,12 @@ def main() -> None:
     # this 40-60%-drift host cannot distinguish code changes from host noise
     # (VERDICT r2 What's-wrong #1) — min of 3 with the raw samples reported
     run_pipeline_once(spark, images_path, str(BENCH_DIR / "warmup_out"))
-    headline_rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "3"))
+    # 4 samples: the host's 40-60% drift phases last minutes — with 3
+    # samples a whole min-of-k can land inside one slow phase (observed
+    # r4: 6.2/9.0/4.4 s for a pipeline that reads 1.9-2.2 s in calm
+    # phases); the 4th sample meaningfully improves the odds the min is a
+    # clean one, for ~3 s of extra wall time
+    headline_rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "4"))
     headline_samples = [
         run_pipeline_once(spark, images_path, str(BENCH_DIR / "main_out"))
         for _ in range(headline_rounds)
