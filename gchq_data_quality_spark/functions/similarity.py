@@ -118,6 +118,53 @@ def build_ivf_index(
     return indexed, centroids
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    max_bucket: int = 64,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-then-dedup (the SemDeDup recipe): assign every row to its
+    nearest centroid (map-side argmax, no shuffle), then verify exact
+    cosine WITHIN each cell via the shared capped pair-expansion engine —
+    one shuffle on the cell key, no self-join, per-cell fan-out bounded by
+    ``max_bucket``.
+
+    Complement to ``dedup.embedding_dedup_pairs`` (hyperplane LSH): cells
+    are DATA-AWARE buckets, so near-duplicate clusters — which argmax to
+    the same centroid when tight — land together with fewer buckets and no
+    multi-band duplication. The trade is recall at cell boundaries: a pair
+    split across two cells is never compared (SemDeDup's own documented
+    property); use the hyperplane-LSH variant when boundary pairs matter.
+    ``centroids``: reuse a pre-built (cell, centroid) table — e.g. from
+    build_ivf_index — instead of deriving one from ``df``.
+    """
+    from gchq_data_quality_spark.functions.dedup import _expand_bucket_pairs
+
+    if centroids is None:
+        indexed, _ = build_ivf_index(df, vec_col, id_col, n_cells)
+    else:
+        indexed = assign_cells(df, centroids, vec_col)
+    bucketed = indexed.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
+    )
+    return _expand_bucket_pairs(
+        bucketed,
+        keys=["cell"],
+        member=F.struct(F.col("id"), F.col("v")),
+        make_pair=lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            cosine_similarity(x["v"], y["v"]).alias("cosine"),
+        ),
+        max_bucket=max_bucket,
+        keep=lambda p: p["cosine"] >= threshold,
+    ).select("p.id_a", "p.id_b", "p.cosine").distinct()
+
+
 def write_ivf_index(indexed: DataFrame, path: str) -> DataFrame:
     """Persist the indexed table PARTITIONED BY cell and return the re-read.
 

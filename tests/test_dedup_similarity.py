@@ -382,3 +382,65 @@ def test_simhash_randomized_python_differential(spark):
             saw_negative = True
         assert got[i] == expected, f"doc {i}"
     assert saw_negative  # the sign-bit placement path was exercised
+
+
+def test_semantic_dedup_pairs_cluster_then_verify(spark):
+    """SemDeDup-style cell-bucketed near-dup: planted tight clusters (20
+    clusters x 3 noisy copies) must pair WITHIN clusters exactly as the
+    brute-force cosine threshold says, and produce no cross-cluster pairs.
+    Tight copies argmax to the same centroid, so cell recall is 1 here."""
+    import numpy as np
+
+    from gchq_data_quality_spark.functions.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vecs = {}
+    vid = 0
+    for c in range(20):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.normal(scale=0.01, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vecs[vid] = v
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, threshold=0.99, n_cells=8, max_bucket=64
+        ).collect()
+    }
+    # the operator's exact contract: brute-force pairs that SHARE A CELL
+    # (boundary pairs are skipped by design — the SemDeDup trade)
+    from gchq_data_quality_spark.functions.similarity import (
+        assign_cells,
+        build_ivf_index,
+    )
+
+    _, centroids = build_ivf_index(df, n_cells=8)
+    cells = {
+        r["vec_id"]: r["cell"] for r in assign_cells(df, centroids).collect()
+    }
+    ids = sorted(vecs)
+    brute = set()
+    for i in ids:
+        for j in ids:
+            if i < j:
+                a, b = vecs[i], vecs[j]
+                cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if cos >= 0.99:
+                    brute.add((i, j))
+    expected = {(i, j) for (i, j) in brute if cells[i] == cells[j]}
+    assert expected  # the construction actually plants qualifying pairs
+    assert got == expected
+    # most planted pairs survive the cell partition (tight clusters argmax
+    # together); boundary losses exist but stay a small minority
+    assert len(expected) >= 0.8 * len(brute), (len(expected), len(brute))
+    # plan shape: the shared engine — no join, no cartesian
+    plan = (
+        semantic_dedup_pairs(df, threshold=0.99, n_cells=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
