@@ -68,6 +68,46 @@ def exact_dedup(
     )
 
 
+def exact_dedup_incremental(
+    df: DataFrame,
+    history_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalise: bool = True,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus: drop rows whose
+    (normalised) text fingerprint appears in ``history_fps`` (a 1-column
+    frame of prior fingerprints, e.g. ``fingerprints()`` of previous
+    batches), then exact-dedup within the batch itself.
+
+    The history probe is a LEFT ANTI join on the 64-bit fingerprint —
+    shuffle bounded by the fingerprint column (8 bytes/row), never the
+    text; with AQE it broadcasts automatically when the history side is
+    small. The within-batch pass reuses exact_dedup (min-id keeper). This
+    is the append-only ingestion pattern: each run emits its survivors'
+    fingerprints (``fingerprints``) to extend the history for the next
+    run.
+    """
+    fp = fingerprint(F.col(text_col)) if normalise else F.xxhash64(F.col(text_col))
+    probe = history_fps.select(F.col(fp_col).alias("__fp")).distinct()
+    fresh = (
+        df.withColumn("__fp", fp)
+        .join(probe, "__fp", "left_anti")
+        .drop("__fp")
+    )
+    return exact_dedup(fresh, text_col, id_col, normalise=normalise)
+
+
+def fingerprints(
+    df: DataFrame, text_col: str, normalise: bool = True, fp_col: str = "fp"
+) -> DataFrame:
+    """Distinct (normalised) text fingerprints of ``df`` — the history
+    frame exact_dedup_incremental probes against (persist per batch)."""
+    fp = fingerprint(F.col(text_col)) if normalise else F.xxhash64(F.col(text_col))
+    return df.select(fp.alias(fp_col)).distinct()
+
+
 def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(fingerprint, n_dupes, example ids) for every duplicated text."""
     return (

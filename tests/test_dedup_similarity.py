@@ -444,3 +444,36 @@ def test_semantic_dedup_pairs_cluster_then_verify(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_incremental_against_history(spark):
+    """Append-only ingestion: batch 2 drops rows whose (normalised) text
+    already shipped in batch 1, then dedups within itself; the emitted
+    fingerprints extend the history so a THIRD batch sees both."""
+    from gchq_data_quality_spark.functions.dedup import (
+        exact_dedup_incremental,
+        fingerprints,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
+    )
+    history = fingerprints(batch1, "text")
+    batch2 = spark.createDataFrame(
+        [
+            (10, "ALPHA   doc"),   # normalised dup of batch-1 row 1
+            (11, "gamma doc"),
+            (12, "gamma doc"),     # in-batch dup -> min id (11) survives
+            (13, "delta doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup_incremental(batch2, history, "text", "doc_id")
+    assert {r.doc_id for r in kept.collect()} == {11, 13}
+
+    history2 = history.union(fingerprints(kept, "text")).distinct()
+    batch3 = spark.createDataFrame(
+        [(20, "delta doc"), (21, "epsilon doc")], "doc_id long, text string"
+    )
+    kept3 = exact_dedup_incremental(batch3, history2, "text", "doc_id")
+    assert {r.doc_id for r in kept3.collect()} == {21}
