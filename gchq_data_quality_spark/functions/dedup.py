@@ -88,24 +88,36 @@ def exact_dedup_incremental(
     is the append-only ingestion pattern: each run emits its survivors'
     fingerprints (``fingerprints``) to extend the history for the next
     run.
+
+    NULL texts never deduplicate: ``fingerprint(NULL)`` is one constant,
+    which would collapse every missing-text row (a defect class for the
+    RULES to flag, not delete) into a single survivor — they bypass both
+    the history probe and the within-batch pass.
     """
     fp = fingerprint(F.col(text_col)) if normalise else F.xxhash64(F.col(text_col))
+    null_rows = df.filter(F.col(text_col).isNull())
     probe = history_fps.select(F.col(fp_col).alias("__fp")).distinct()
     fresh = (
-        df.withColumn("__fp", fp)
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__fp", fp)
         .join(probe, "__fp", "left_anti")
         .drop("__fp")
     )
-    return exact_dedup(fresh, text_col, id_col, normalise=normalise)
+    deduped = exact_dedup(fresh, text_col, id_col, normalise=normalise)
+    return deduped.unionByName(null_rows)
 
 
 def fingerprints(
     df: DataFrame, text_col: str, normalise: bool = True, fp_col: str = "fp"
 ) -> DataFrame:
     """Distinct (normalised) text fingerprints of ``df`` — the history
-    frame exact_dedup_incremental probes against (persist per batch)."""
+    frame exact_dedup_incremental probes against (persist per batch).
+    NULL texts are excluded (their constant fingerprint must never enter
+    the probe set)."""
     fp = fingerprint(F.col(text_col)) if normalise else F.xxhash64(F.col(text_col))
-    return df.select(fp.alias(fp_col)).distinct()
+    return (
+        df.filter(F.col(text_col).isNotNull()).select(fp.alias(fp_col)).distinct()
+    )
 
 
 def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

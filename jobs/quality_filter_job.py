@@ -52,6 +52,18 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--allowed-langs", default="")
     p.add_argument("--keep-only", action="store_true",
                    help="write only keep=true rows (default writes all + flags)")
+    p.add_argument("--history-fps", default=None,
+                   help="parquet of prior-run caption fingerprints (column "
+                        "'fp'): rows whose caption fingerprint appears there "
+                        "are dropped BEFORE processing — incremental dedup "
+                        "against the already-ingested corpus. NULL captions "
+                        "never match (they are a rule-flagged defect class, "
+                        "not dedup casualties)")
+    p.add_argument("--emit-fps", default=None,
+                   help="after the run, write the output captions' distinct "
+                        "fingerprints here (parquet, column 'fp') — union "
+                        "with the previous history to feed the next run's "
+                        "--history-fps")
     p.add_argument("--dedup", choices=["off", "exact"], default="off",
                    help="exact: drop duplicate captions (normalised-fingerprint "
                         "equality, min image_id wins). Buckets are keyed by the "
@@ -127,6 +139,31 @@ def main(argv: list[str] | None = None) -> None:
         repartition_to=args.repartition_to or None,
     )
     pipe = QualityFilterPipeline(config, langid_model, ppl_model)
+
+    if args.history_fps:
+        # incremental ingestion: drop rows already shipped by prior runs —
+        # a left-anti probe on 8-byte caption fingerprints (never the
+        # text/bytes), applied BEFORE bucketing so resume lineage sees the
+        # same filtered input every run (the probe is deterministic).
+        # NULL captions bypass: fingerprint(NULL) is one constant and must
+        # never collapse or cross-drop the missing-caption defect class.
+        from pyspark.sql import functions as F
+
+        from gchq_data_quality_spark.functions.text import fingerprint
+
+        probe = (
+            read_table(spark, args.history_fps)
+            .select(F.col("fp").alias("__hist_fp"))
+            .distinct()
+        )
+        cap = F.col(config.caption_col)
+        df = (
+            df.filter(cap.isNotNull())
+            .withColumn("__hist_fp", fingerprint(cap))
+            .join(probe, "__hist_fp", "left_anti")
+            .drop("__hist_fp")
+            .unionByName(df.filter(cap.isNull()))
+        )
 
     # --dedup exact: key the checkpoint buckets by the caption fingerprint
     # instead of the row id. bucket = pmod(xxhash64(key), n) is a pure
@@ -280,6 +317,21 @@ def main(argv: list[str] | None = None) -> None:
         audit_df = pipe.audit_df(spark.read.parquet(args.output))
     if audit_df is not None:
         write_table(audit_df, args.audit, mode="overwrite")
+
+    if args.emit_fps:
+        # the next run's --history-fps delta: distinct caption fingerprints
+        # of everything this run shipped (NULL captions excluded — see the
+        # probe above). Written AFTER all buckets complete, so a crashed
+        # run never advertises fingerprints for rows it did not write.
+        from gchq_data_quality_spark.functions.dedup import fingerprints
+
+        write_table(
+            fingerprints(
+                spark.read.parquet(args.output), config.caption_col
+            ),
+            args.emit_fps,
+            mode="overwrite",
+        )
 
     print(json.dumps({**summary, "elapsed_sec": round(elapsed, 2),
                       "rows_per_sec": round(summary["rows_written"] / max(elapsed, 1e-9), 1)}))

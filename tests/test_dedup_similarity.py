@@ -477,3 +477,12 @@ def test_exact_dedup_incremental_against_history(spark):
     )
     kept3 = exact_dedup_incremental(batch3, history2, "text", "doc_id")
     assert {r.doc_id for r in kept3.collect()} == {21}
+
+    # NULL texts bypass dedup entirely (constant fingerprint must never
+    # collapse or cross-drop them) and never enter the probe set
+    nulls = spark.createDataFrame(
+        [(30, None), (31, None), (32, "epsilon doc")], "doc_id long, text string"
+    )
+    kept4 = exact_dedup_incremental(nulls, history2, "text", "doc_id")
+    assert {r.doc_id for r in kept4.collect()} == {30, 31, 32}
+    assert fingerprints(nulls, "text").count() == 1  # only the non-null text

@@ -280,3 +280,64 @@ def test_job_keep_only_unstamped_zero_row_bucket_warns(spark, tmp_path, capsys):
     capsys.readouterr()
     after = spark.read.parquet(str(audit)).collect()
     assert sorted(map(str, after)) == sorted(map(str, before))
+
+
+def test_job_incremental_history_dedup_across_runs(spark, tmp_path, capsys):
+    """Incremental ingestion: run 1 emits its caption fingerprints; run 2
+    over a superset input with --history-fps drops everything already
+    shipped (except NULL-caption rows, which never dedup) and processes
+    only the genuinely new rows."""
+    from pyspark.sql import functions as F
+
+    from gchq_data_quality_spark.sources.synthetic import generate_images_df
+
+    fps1 = tmp_path / "fps1"
+    quality_filter_job.main(
+        [
+            "--synthetic", "200",
+            "--output", str(tmp_path / "out1"),
+            "--audit", str(tmp_path / "audit1"),
+            "--manifest", str(tmp_path / "m1.json"),
+            "--n-buckets", "4",
+            "--emit-fps", str(fps1),
+        ]
+    )
+    capsys.readouterr()
+    assert spark.read.parquet(str(fps1)).columns == ["fp"]
+
+    # the 400-row synthetic table begins with the same 200 rows
+    quality_filter_job.main(
+        [
+            "--synthetic", "400",
+            "--output", str(tmp_path / "out2"),
+            "--audit", str(tmp_path / "audit2"),
+            "--manifest", str(tmp_path / "m2.json"),
+            "--n-buckets", "4",
+            "--history-fps", str(fps1),
+        ]
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out2 = spark.read.parquet(str(tmp_path / "out2"))
+    full = generate_images_df(spark, 400)
+    first200 = generate_images_df(spark, 200)
+    # expected survivors: rows whose caption fingerprint is NOT among the
+    # first 200 non-null captions, plus every null-caption row
+    from gchq_data_quality_spark.functions.dedup import fingerprints as fps_of
+
+    from gchq_data_quality_spark.functions.text import fingerprint
+
+    hist = {r.fp for r in fps_of(first200, "caption").collect()}
+    per_row = (
+        full.filter(F.col("caption").isNotNull())
+        .select(fingerprint(F.col("caption")).alias("fp"))
+        .collect()
+    )
+    expected = full.filter(F.col("caption").isNull()).count() + sum(
+        1 for r in per_row if r.fp not in hist
+    )
+    assert out2.count() == expected
+    assert summary["rows_written"] == expected
+    # null-caption rows from the new batch survived the history filter
+    assert out2.filter(F.col("caption").isNull()).count() == full.filter(
+        F.col("caption").isNull()
+    ).count()
