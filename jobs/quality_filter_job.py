@@ -141,6 +141,23 @@ def main(argv: list[str] | None = None) -> None:
     pipe = QualityFilterPipeline(config, langid_model, ppl_model)
 
     if args.history_fps:
+        # pin the history source in the manifest alongside n_buckets and
+        # key_col: resuming a partial run against a DIFFERENT history (or
+        # adding/removing --history-fps mid-run) would give completed and
+        # pending buckets different input row sets — raise instead.
+        from gchq_data_quality_spark.sources.checkpoint import (
+            CheckpointManifest as _CM,
+        )
+
+        _m = _CM(args.manifest)
+        _prev = _m.load().get("meta", {}).get("history_fps", {}).get("path")
+        if _prev not in (None, args.history_fps):
+            raise ValueError(
+                f"Manifest was written with --history-fps {_prev!r}; "
+                f"resuming with {args.history_fps!r} would mix input "
+                "lineages — use a fresh manifest"
+            )
+        _m.merge_meta("history_fps", {"path": args.history_fps})
         # incremental ingestion: drop rows already shipped by prior runs —
         # a left-anti probe on 8-byte caption fingerprints (never the
         # text/bytes), applied BEFORE bucketing so resume lineage sees the

@@ -341,3 +341,32 @@ def test_job_incremental_history_dedup_across_runs(spark, tmp_path, capsys):
     assert out2.filter(F.col("caption").isNull()).count() == full.filter(
         F.col("caption").isNull()
     ).count()
+
+
+def test_job_history_toggle_on_resume_raises(spark, tmp_path, capsys):
+    """Resuming a manifest with a DIFFERENT --history-fps (or after the
+    history content would differ) mixes input lineages between completed
+    and pending buckets — the manifest pins the history path and the
+    mismatch raises."""
+    fps = tmp_path / "fps"
+    _run(tmp_path, ["--emit-fps", str(fps)])
+    capsys.readouterr()
+
+    out2 = tmp_path / "out2"
+    m2 = tmp_path / "m2.json"
+    common = [
+        "--synthetic", "400",
+        "--output", str(out2),
+        "--audit", str(tmp_path / "audit2"),
+        "--manifest", str(m2),
+        "--n-buckets", "4",
+    ]
+    quality_filter_job.main([*common, "--history-fps", str(fps)])
+    capsys.readouterr()
+    # same path resumes fine (idempotent re-run, everything skipped)
+    quality_filter_job.main([*common, "--history-fps", str(fps)])
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="history-fps"):
+        quality_filter_job.main(
+            [*common, "--history-fps", str(tmp_path / "other_fps")]
+        )
