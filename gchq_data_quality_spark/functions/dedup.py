@@ -484,6 +484,7 @@ def minhash_dedup(
     threshold: float = 0.7,
     transitive: bool = False,
     max_iters: int = 3,
+    exact: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Drop near-duplicates, keeping one representative per duplicate group.
@@ -505,6 +506,13 @@ def minhash_dedup(
     embeds the whole LSH + exact-verify subtree in the plan (exchange reuse
     across AQE stages is not guaranteed), re-running the most expensive
     stage of the job several times.
+
+    ``transitive=True, exact=True``: run the FULL closure via
+    relational.connected_components instead of bounded propagation — the
+    hybrid dispatcher makes this cheap for typical near-dup graphs (small
+    graphs collect into a union-find; huge ones run the distributed
+    algorithms), so pick it whenever chains deeper than ``max_iters`` hops
+    are plausible.
     """
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold, **kwargs)
     if transitive:
@@ -512,6 +520,17 @@ def minhash_dedup(
     if not transitive:
         # representative = min neighbour id (one hop)
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")
+
+    if exact:
+        from gchq_data_quality_spark.functions.relational import (
+            connected_components,
+        )
+
+        labels = connected_components(pairs)
+        losers = labels.filter(F.col("label") != F.col("id")).select(
+            F.col("id").alias(id_col)
+        )
         return df.join(losers, id_col, "left_anti")
 
     # symmetric edge list over only the ids that appear in some pair

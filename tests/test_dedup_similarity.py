@@ -486,3 +486,48 @@ def test_exact_dedup_incremental_against_history(spark):
     kept4 = exact_dedup_incremental(nulls, history2, "text", "doc_id")
     assert {r.doc_id for r in kept4.collect()} == {30, 31, 32}
     assert fingerprints(nulls, "text").count() == 1  # only the non-null text
+
+
+def test_minhash_dedup_exact_closure_beats_bounded_on_deep_chain(spark):
+    """A 6-deep similarity chain (each doc overlaps its neighbors) where
+    the component minimum is >3 hops from the far end: bounded 3-round
+    propagation leaves a stray survivor; exact closure via the hybrid
+    connected-components keeps exactly one representative."""
+    words = [f"tok{i:03d}" for i in range(100)]
+    # chain positions p0..p5; ids [10,11,12,13,14,2]: doc 10 (far end) is
+    # the MINIMUM of its 3-hop neighbourhood {10,11,12,13} but not of the
+    # component (min 2 sits 5 hops away)
+    chain_ids = [10, 11, 12, 13, 14, 2]
+    rows = [
+        (chain_ids[i], " ".join(words[5 * i : 5 * i + 50])) for i in range(6)
+    ]
+    rows.append((50, "a completely different document about spark plans"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.75).collect()
+    }
+    # the construction must actually be a chain (consecutive positions only)
+    expected_edges = {
+        tuple(sorted((chain_ids[i], chain_ids[i + 1]))) for i in range(5)
+    }
+    assert pairs == expected_edges, pairs
+
+    exact = {
+        r.doc_id
+        for r in minhash_dedup(
+            docs, "text", "doc_id", threshold=0.75, transitive=True, exact=True
+        ).collect()
+    }
+    assert exact == {2, 50}
+
+    bounded = {
+        r.doc_id
+        for r in minhash_dedup(
+            docs, "text", "doc_id", threshold=0.75, transitive=True, max_iters=3
+        ).collect()
+    }
+    # 3 rounds reach 3 hops: doc 10 is still its horizon's minimum and
+    # wrongly survives — the case exact=True exists for
+    assert bounded == {2, 10, 50}
