@@ -77,8 +77,49 @@ def main() -> None:
     joined.filter(F.col("err_ts").isNotNull()).select(
         "user_id",
         "event_id",
-        (F.unix_micros("ts") - F.unix_micros("err_ts")).alias("lag_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("err_ts").cast("timestamp"))
+        ).alias("lag_us"),
     ).show(5)
+
+    print("== incremental ingestion: batch 2 vs batch-1 fingerprints ==")
+    from gchq_data_quality_spark.functions.dedup import (
+        exact_dedup_incremental,
+        fingerprints,
+    )
+
+    batch1 = docs.filter(F.col("doc_id") < 200)
+    history = fingerprints(batch1, "text")
+    survivors = exact_dedup_incremental(docs, history, "text", "doc_id")
+    print(
+        f"batch of {docs.count()} against {history.count()} prior prints "
+        f"-> {survivors.count()} new rows"
+    )
+
+    print("== semantic (cluster-then-verify) embedding near-dup ==")
+    from gchq_data_quality_spark.functions.similarity import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    semantic_dedup_pairs(emb, threshold=0.95, n_cells=8).show(5)
+
+    print("== vocabulary coverage (tokenizer-budget curve) ==")
+    from gchq_data_quality_spark.functions.text import coverage_counts
+
+    freq = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    coverage_counts(freq).show()
 
     spark.stop()
 

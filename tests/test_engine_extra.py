@@ -136,3 +136,22 @@ def test_report_json_file_roundtrip(tmp_path, spark):
     again = DataQualityReport.from_json(report.to_json())
     assert len(again.results) == 1
     assert again.results[0].records_failed_sample == report.results[0].records_failed_sample
+
+
+def test_curation_example_runs_end_to_end():
+    """The examples are user-facing documentation — they must keep running
+    (an uncovered NTZ-timestamp regression hid in the as-of section for a
+    round). Subprocess: the example owns (and stops) its own session."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "examples" / "curation_ops_example.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "vocabulary coverage" in proc.stdout
+    assert "incremental ingestion" in proc.stdout
