@@ -124,3 +124,25 @@ def test_events_user_ts_is_duplicate_free(duck):
         "WHERE ts IS NOT NULL GROUP BY 1, 2 HAVING COUNT(*) > 1)"
     ).fetchall()
     assert dups == 0
+
+
+def test_queries_order_keeps_oracle_backed_inside_driver_window():
+    """The driver checks at most ~50 queries() entries in dict order
+    (CORRECTNESS_r03 silently dropped entry #51): every oracle-backed
+    query must precede every rows-only query, and all oracle-backed
+    entries must sit inside the first 50 positions."""
+    names = list(QUERIES)
+    oracle_backed = set(ORACLE)
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in oracle_backed), len(names)
+    )
+    stragglers = [
+        n for n in names[first_rows_only:] if n in oracle_backed
+    ]
+    assert not stragglers, f"oracle-backed after rows-only: {stragglers}"
+    last_oracle_pos = max(
+        i for i, n in enumerate(names) if n in oracle_backed
+    )
+    assert last_oracle_pos < 50, f"oracle-backed query at position {last_oracle_pos}"
+    # every oracle key must have a query (no orphaned SQL)
+    assert set(ORACLE) <= set(QUERIES)
