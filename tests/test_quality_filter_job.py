@@ -370,3 +370,57 @@ def test_job_history_toggle_on_resume_raises(spark, tmp_path, capsys):
         quality_filter_job.main(
             [*common, "--history-fps", str(tmp_path / "other_fps")]
         )
+
+
+def test_neardup_preprocessing_job_chains_into_quality_filter(spark, tmp_path, capsys):
+    """The documented two-job composition: near-dup dedup (global pair
+    pass) first, its output feeds the bucket-checkpointed quality filter.
+    The synthetic corpus plants exact duplicate captions, which are also
+    near-duplicates at any threshold — they must be gone after job 1."""
+    import neardup_dedup_job
+
+    from pyspark.sql import functions as F
+
+    from gchq_data_quality_spark.functions.text import fingerprint
+
+    nd_out = tmp_path / "nd_out"
+    neardup_dedup_job.main(
+        [
+            "--synthetic", "300",
+            "--output", str(nd_out),
+            "--threshold", "0.8",
+            "--transitive", "--exact",
+            "--report-pairs",
+        ]
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_in"] == 300
+    assert summary["near_dups_dropped"] > 0
+    assert summary["verified_pairs"] >= summary["near_dups_dropped"]
+
+    deduped = spark.read.parquet(str(nd_out))
+    # exact duplicate captions are near-duplicates: none survive
+    dup_fps = (
+        deduped.filter(F.col("caption").isNotNull())
+        .select(fingerprint(F.col("caption")).alias("fp"))
+        .groupBy("fp").count().filter("count > 1").count()
+    )
+    assert dup_fps == 0
+    # null-caption rows pass through untouched
+    from gchq_data_quality_spark.sources.synthetic import generate_images_df
+
+    n_null = generate_images_df(spark, 300).filter(F.col("caption").isNull()).count()
+    assert deduped.filter(F.col("caption").isNull()).count() == n_null
+
+    # chain into the quality filter job
+    quality_filter_job.main(
+        [
+            "--input", str(nd_out),
+            "--output", str(tmp_path / "qf_out"),
+            "--audit", str(tmp_path / "qf_audit"),
+            "--manifest", str(tmp_path / "qf_m.json"),
+            "--n-buckets", "4",
+        ]
+    )
+    qf_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert qf_summary["rows_written"] == summary["rows_out"]
