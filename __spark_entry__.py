@@ -5,7 +5,7 @@ perplexity + heuristic rules + PII scrub) over a deterministic synthetic
 image+caption table and returns the per-rule audit DataFrame.
 
 ``queries()``/``oracle_sql()`` expose one entry per implemented operator
-from SURVEY.md §2 — 51 queries (rule metrics compiled to single-pass
+from SURVEY.md §2 — 50 queries (rule metrics compiled to single-pass
 aggregations, text analysis, window-function sessionization/top-k, column
 profiling, dedup + duplicate-cluster components, the full
 LSH->exact-verify pipeline, n-gram decontamination, the keep/drop
@@ -15,9 +15,13 @@ outlier screens, per-group exact percentiles, sliding event-time windows,
 token-window document chunking, deterministic train/val/test splitting,
 per-source data mixing, cohort retention, signup-to-purchase conversion
 funnels, anti-join lapsed-customer screens, perceptual image near-dup,
-the fingerprint bucket/verify engine over planted fingerprints,
-classic join/agg plans, corpus n-gram statistics), 45 paired with ANSI SQL
-DuckDB oracles over the same parquet tables. Non-SQL-expressible ops (pipeline keep/drop, raw LSH
+the fingerprint bucket/verify engine over planted fingerprints, the
+hyperplane-LSH embedding engine over planted integer vectors,
+classic join/agg plans, corpus n-gram statistics), 44 paired with ANSI SQL
+DuckDB oracles over the same parquet tables. r5 merged the two completeness
+and the two accuracy rule variants into one two-row query each, so the
+WHOLE surface — including minhash_candidates — fits the driver's ~50-entry
+window (VERDICT r4 Next #5). Non-SQL-expressible ops (pipeline keep/drop, raw LSH
 candidate counts, langid, simhash pair rows, media binary decode) omit the oracle and
 get the driver's rows-only check. Oracle SQL casts every integer SUM to BIGINT and
 matches Spark's arrow types exactly — the driver hashes arrow encodings
@@ -88,21 +92,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # rule-metric queries (engine vs SUM(CASE WHEN ...) oracles)
 # ---------------------------------------------------------------------------
 
-def _q_rule_completeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_rule_completeness_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both CompletenessRule variants (plain NULL check on documents.text,
+    na_values coercion on events.event_type) as ONE two-row query — merged
+    in r5 to free a driver-window slot (VERDICT r4 Next #5). Row order is
+    construction order (docs first), mirrored by the oracle's UNION ALL."""
     from gchq_data_quality_spark import CompletenessRule
+    from gchq_data_quality_spark.engine import compute_metrics
 
-    return _rule_metrics_df(
-        spark, _read(spark, sf_dir, "documents"),
-        [CompletenessRule(field="text", rule_id="r")],
+    metrics = compute_metrics(
+        _read(spark, sf_dir, "documents"),
+        [CompletenessRule(field="text", rule_id="docs_text")],
+        collect_samples=False,
+    ) + compute_metrics(
+        _read(spark, sf_dir, "events"),
+        [CompletenessRule(field="event_type", na_values=["error"], rule_id="events_na")],
+        collect_samples=False,
     )
-
-
-def _q_rule_completeness_na(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gchq_data_quality_spark import CompletenessRule
-
-    return _rule_metrics_df(
-        spark, _read(spark, sf_dir, "events"),
-        [CompletenessRule(field="event_type", na_values=["error"], rule_id="r")],
+    rows = [
+        (
+            m.rule.rule_id,
+            int(m.records_evaluated),
+            int(m.records_passing),
+            round(m.pass_rate, 6) if m.pass_rate is not None else None,
+        )
+        for m in metrics
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule_id string, records_evaluated long, records_passing long, pass_rate double",
     )
 
 
@@ -115,21 +133,27 @@ def _q_rule_uniqueness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_rule_accuracy_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_rule_accuracy_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both AccuracyRule variants (membership + inverse) as ONE two-row
+    query over events — merged in r5 to free a driver-window slot (VERDICT
+    r4 Next #5); both rules still run in a SINGLE aggregation pass."""
     from gchq_data_quality_spark import AccuracyRule
 
     return _rule_metrics_df(
         spark, _read(spark, sf_dir, "events"),
-        [AccuracyRule(field="event_type", valid_values=["click", "view", "purchase"], rule_id="r")],
-    )
-
-
-def _q_rule_accuracy_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gchq_data_quality_spark import AccuracyRule
-
-    return _rule_metrics_df(
-        spark, _read(spark, sf_dir, "events"),
-        [AccuracyRule(field="event_type", valid_values=["error"], inverse=True, rule_id="r")],
+        [
+            AccuracyRule(
+                field="event_type",
+                valid_values=["click", "view", "purchase"],
+                rule_id="membership",
+            ),
+            AccuracyRule(
+                field="event_type",
+                valid_values=["error"],
+                inverse=True,
+                rule_id="inverse",
+            ),
+        ],
     )
 
 
@@ -626,7 +650,10 @@ def _q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs directly (shingle self-join), so a driver hash-match attests BOTH
     LSH recall (every true pair must surface as a candidate) AND the
     verifier's exact arithmetic — the signal VERDICT r2 said minhash lacked.
-    Corpus pairs all sit at J >= 0.83 where 8x4 banding recalls >= 0.994."""
+    Corpus pairs all sit at J >= 0.83 where 8x4 banding recalls >= 0.994.
+    r5: the verify runs IN the pair-expansion lambda over carried shingle
+    arrays (no verify joins, fold computed once — VERDICT r4 Next #3;
+    measured 3.53 -> 2.05 s at sf0.1)."""
     from gchq_data_quality_spark.functions.dedup import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
@@ -1237,6 +1264,127 @@ def _q_fingerprint_pairs_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Planted-embedding construction for the hyperplane-LSH oracle: 5-vector
+# groups share an integer base (per-dim affine congruences of the group id,
+# components in [-50, 50] scaled x16); member m adds m+1 to dimension m.
+# INTEGER-VALUED doubles make every dot product / squared norm an exactly-
+# representable integer on both engines, so bucket sign bits and cosines are
+# bit-identical between Spark's fold and DuckDB's explicit expansion — no
+# float-summation-order hazard anywhere.
+_EPO_A = (3, 7, 11, 19, 23, 31, 43, 53)
+_EPO_B = (5, 13, 29, 37, 41, 59, 61, 71)
+_EPO_P = 101
+_EPO_DIM = 8
+_EPO_SCALE = 16
+
+
+def _q_embedding_pairs_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green oracle for the hyperplane-LSH embedding near-dup engine
+    (dedup.embedding_dedup_pairs — VERDICT r4 Next #4, mirroring what
+    fingerprint_pairs_oracle did for the hamming engine in r4).
+
+    The corpus embeddings have no near-duplicate structure (max pairwise
+    cosine < 0.8), so deterministic integer-valued vectors are planted from
+    vec_id (see _EPO_*), the REAL engine runs on Spark, and DuckDB
+    replicates the ENTIRE engine in SQL — identical plane-weight literals
+    (dedup.plane_weight), sign-bit band buckets, the row_number bucket cap,
+    i<j in-bucket expansion, and the exact cosine verify — so the hash
+    match attests the full bucket/cap/verify arithmetic without relying on
+    probabilistic recall.
+    """
+    from gchq_data_quality_spark.functions.dedup import embedding_dedup_pairs
+
+    g = F.expr("vec_id div 5")
+    m = F.col("vec_id") % 5
+    comps = [
+        (g * F.lit(a) + F.lit(b)) % F.lit(_EPO_P) - F.lit(_EPO_P // 2)
+        for a, b in zip(_EPO_A, _EPO_B)
+    ]
+    v = [
+        (
+            comps[d] * F.lit(_EPO_SCALE)
+            + F.when(m == d, m + 1).otherwise(F.lit(0))
+        ).cast("double")
+        for d in range(_EPO_DIM)
+    ]
+    planted = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(*v).alias("emb")
+    )
+    pairs = embedding_dedup_pairs(planted, "emb", "vec_id", threshold=0.95)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_pairs_oracle_sql() -> str:
+    """DuckDB replica of embedding_dedup_pairs over the planted vectors.
+
+    Dot products are expanded term-by-term LEFT-ASSOCIATIVELY so the float
+    additions happen in the same order as Spark's aggregate fold (identical
+    IEEE results); with the integer-valued construction they are exact
+    integers anyway. Plane weights are the very literals the engine uses
+    (dedup.plane_weight, repr round-trips the double exactly).
+    """
+    from gchq_data_quality_spark.functions.dedup import plane_weight
+
+    n_planes, bands = 16, 4
+    planes_per_band = n_planes // bands
+    comp = [
+        f"((((vec_id // 5) * {a} + {b}) % {_EPO_P}) - {_EPO_P // 2})"
+        for a, b in zip(_EPO_A, _EPO_B)
+    ]
+    velem = [
+        f"CAST({comp[d]} * {_EPO_SCALE} + "
+        f"(CASE WHEN vec_id % 5 = {d} THEN vec_id % 5 + 1 ELSE 0 END) AS DOUBLE)"
+        for d in range(_EPO_DIM)
+    ]
+    sign_bits = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"v[{d + 1}] * {plane_weight(p, d)!r}" for d in range(_EPO_DIM)
+        )
+        sign_bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END AS s{p}")
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=" || ".join(
+                f"s{b * planes_per_band + r}" for r in range(planes_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    pair_dot = " + ".join(
+        f"va.v[{d + 1}] * vb.v[{d + 1}]" for d in range(_EPO_DIM)
+    )
+    norm_a = " + ".join(f"va.v[{d + 1}] * va.v[{d + 1}]" for d in range(_EPO_DIM))
+    norm_b = " + ".join(f"vb.v[{d + 1}] * vb.v[{d + 1}]" for d in range(_EPO_DIM))
+    cos = f"(({pair_dot}) / (SQRT({norm_a}) * SQRT({norm_b})))"
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id AS id, [{", ".join(velem)}] AS v FROM embeddings
+        ), sig AS (
+            SELECT id, v, {", ".join(sign_bits)} FROM vecs
+        ), bands AS (
+            {band_rows}
+        ), capped AS (
+            SELECT id, band, bucket,
+                   ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+            FROM bands
+        ), cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            WHERE a.rn <= 64 AND b.rn <= 64
+        )
+        SELECT id_a, id_b, ROUND({cos}, 4) AS cosine
+        FROM cand
+        JOIN vecs va ON va.id = id_a
+        JOIN vecs vb ON vb.id = id_b
+        WHERE {cos} >= 0.95
+        ORDER BY id_a, id_b
+    """
+
+
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gchq_data_quality_spark.functions.dedup import minhash_candidate_pairs
 
@@ -1265,17 +1413,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver checks queries in dict order and caps the
     run at ~50 entries (CORRECTNESS_r03 silently dropped entry #51 —
     VERDICT r3 Missing #1). Oracle-backed queries come first, then the
-    rows-only checks ranked by how much arithmetic their value-hash pins;
-    ``minhash_candidates`` sits last and is knowingly beyond the observed
-    window — its whole pipeline is hash-attested via ``lsh_verified_pairs``
-    (which contains the candidate stage), and bench.py times it directly."""
+    rows-only checks ranked by how much arithmetic their value-hash pins.
+    r5: merging the completeness and accuracy rule pairs brought the total
+    to exactly 50, so ``minhash_candidates`` (still last) is back INSIDE
+    the window and regains its per-round driver signal (VERDICT r4 Next
+    #5); the ordering guard test also pins the <= 50 total."""
     return {
         # --- oracle-backed (rows + schema + value-hash vs DuckDB) ---
-        "rule_completeness_docs": _q_rule_completeness_docs,
-        "rule_completeness_na": _q_rule_completeness_na,
+        "rule_completeness_pair": _q_rule_completeness_pair,
         "rule_uniqueness_users": _q_rule_uniqueness_users,
-        "rule_accuracy_event_type": _q_rule_accuracy_event_type,
-        "rule_accuracy_inverse": _q_rule_accuracy_inverse,
+        "rule_accuracy_pair": _q_rule_accuracy_pair,
         "rule_validity_range": _q_rule_validity_range,
         "rule_validity_regex": _q_rule_validity_regex,
         "rule_consistency_simple": _q_rule_consistency_simple,
@@ -1298,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": _q_lsh_verified_pairs,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "fingerprint_pairs_oracle": _q_fingerprint_pairs_oracle,
+        "embedding_pairs_oracle": _q_embedding_pairs_oracle,
         "asof_time_since_error": _q_asof_time_since_error,
         "orders_nearby_window": _q_orders_nearby_window,
         "stratified_sample_stats": _q_stratified_sample_stats,
@@ -1337,31 +1485,36 @@ def oracle_sql() -> dict[str, str]:
         "FROM {table}"
     )
     return {
-        "rule_completeness_docs": rule_row.format(
-            evaluated="COUNT(*)",
-            passing="SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)",
-            table="documents",
-        ),
-        "rule_completeness_na": rule_row.format(
-            evaluated="COUNT(*)",
-            passing="SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 1 ELSE 0 END)",
-            table="events",
-        ),
+        # merged two-row variants (r5, VERDICT r4 Next #5): UNION ALL rows in
+        # the Spark side's construction order, same proven pattern as
+        # rules_single_pass
+        "rule_completeness_pair": """
+            SELECT 'docs_text' AS rule_id, CAST(COUNT(*) AS BIGINT) AS records_evaluated,
+                   CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS records_passing,
+                   CASE WHEN COUNT(*) > 0 THEN ROUND(CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) END AS pass_rate
+            FROM documents
+            UNION ALL
+            SELECT 'events_na', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT),
+                   CASE WHEN COUNT(*) > 0 THEN ROUND(CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) END
+            FROM events
+        """,
         "rule_uniqueness_users": rule_row.format(
             evaluated="COUNT(user_id)",
             passing="COUNT(DISTINCT user_id)",
             table="events",
         ),
-        "rule_accuracy_event_type": rule_row.format(
-            evaluated="COUNT(event_type)",
-            passing="SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END)",
-            table="events",
-        ),
-        "rule_accuracy_inverse": rule_row.format(
-            evaluated="COUNT(event_type)",
-            passing="SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 1 ELSE 0 END)",
-            table="events",
-        ),
+        "rule_accuracy_pair": """
+            SELECT 'membership' AS rule_id, CAST(COUNT(event_type) AS BIGINT) AS records_evaluated,
+                   CAST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS records_passing,
+                   CASE WHEN COUNT(event_type) > 0 THEN ROUND(CAST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(event_type), 6) END AS pass_rate
+            FROM events
+            UNION ALL
+            SELECT 'inverse', CAST(COUNT(event_type) AS BIGINT),
+                   CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT),
+                   CASE WHEN COUNT(event_type) > 0 THEN ROUND(CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(event_type), 6) END
+            FROM events
+        """,
         "rule_validity_range": rule_row.format(
             evaluated="COUNT(value)",
             passing="SUM(CASE WHEN value BETWEEN 10 AND 400 THEN 1 ELSE 0 END)",
@@ -1794,6 +1947,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
             ORDER BY id_a, id_b
         """,
+        # full SQL replica of the hyperplane-LSH engine over planted
+        # integer-valued vectors (generated: identical plane-weight literals,
+        # sign-band buckets, row_number cap, i<j expansion, cosine verify)
+        "embedding_pairs_oracle": _embedding_pairs_oracle_sql(),
         "vocab_coverage": r"""
             WITH toks AS (
                 SELECT UNNEST(list_filter(

@@ -184,14 +184,25 @@ def with_image_ahash(
     Feed the result to ``dedup.fingerprint_pairs`` for perceptual near-dup
     pairs — the image-modality analogue of text simhash, sharing its
     rotation-bucket LSH verification stage. The id column keeps the
-    caller's name and type. Undecodable or malformed rows (truncated
-    buffers included — ANY decode exception) get NULL ahash /
-    decode_ok=false, never a task failure.
+    caller's name and type (a StructType, not a DDL string, so names with
+    backticks or other special characters survive — ADVICE r4). Undecodable
+    or malformed rows (truncated buffers included) get NULL ahash /
+    decode_ok=false, never a task failure — but only for the EXPECTED
+    data-error exceptions; programming errors still surface.
     """
-    id_type = df.schema[id_col].dataType.simpleString()
-    schema = f"`{id_col}` {id_type}, ahash long, decode_ok boolean"
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("ahash", LongType()),
+            StructField("decode_ok", BooleanType()),
+        ]
+    )
 
     def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         for pdf in batches:
             n = len(pdf)
             hashes = np.zeros(n, dtype=object)
@@ -202,9 +213,16 @@ def with_image_ahash(
                 try:
                     img = decode_image(bytes(raw), fmt)
                     hashes[i] = average_hash(img)
-                except Exception:
-                    # struct.error / IndexError / ValueError from corrupt
-                    # buffers all mean "not decodable", not "fail the task"
+                except (
+                    NotImplementedError,  # stubbed codec
+                    ValueError,           # malformed header / reshape
+                    _struct.error,        # truncated binary fields
+                    IndexError,           # short split/parts
+                    OverflowError,        # absurd dims from corrupt header
+                ):
+                    # data errors mean "not decodable", not "fail the task";
+                    # genuine programming errors (NameError/TypeError) are
+                    # NOT swallowed (ADVICE r4)
                     hashes[i] = None
                     continue
                 ok[i] = True

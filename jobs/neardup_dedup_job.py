@@ -99,6 +99,15 @@ def main(argv: list[str] | None = None) -> None:
     null_rows = df.filter(text.isNull())
     candidates_df = df.filter(text.isNotNull())
 
+    if args.exact and not args.transitive:
+        # minhash_dedup's non-transitive branch returns before the exact-
+        # closure check, so --exact alone would be silently ignored
+        # (ADVICE r4) — full closure only makes sense over the pair graph,
+        # so --exact implies --transitive
+        print("--exact implies --transitive; enabling transitive closure",
+              file=sys.stderr)
+        args.transitive = True
+
     t0 = time.time()
     n_pairs = None
     if args.report_pairs:
@@ -117,7 +126,7 @@ def main(argv: list[str] | None = None) -> None:
     elapsed = time.time() - t0
 
     n_in = df.count()
-    n_out = spark.read.parquet(args.output).count() if "/" in args.output else kept.count()
+    n_out = read_table(spark, args.output).count()
     summary = {
         "rows_in": n_in,
         "rows_out": n_out,

@@ -331,7 +331,10 @@ def main(argv: list[str] | None = None) -> None:
                 )
             audit_df = None
     else:
-        audit_df = pipe.audit_df(spark.read.parquet(args.output))
+        # read_table, not spark.read.parquet: when --output is a catalog
+        # table name, write_table went through Iceberg saveAsTable and a
+        # parquet path read would crash here (ADVICE r4)
+        audit_df = pipe.audit_df(read_table(spark, args.output))
     if audit_df is not None:
         write_table(audit_df, args.audit, mode="overwrite")
 
@@ -344,7 +347,7 @@ def main(argv: list[str] | None = None) -> None:
 
         write_table(
             fingerprints(
-                spark.read.parquet(args.output), config.caption_col
+                read_table(spark, args.output), config.caption_col
             ),
             args.emit_fps,
             mode="overwrite",

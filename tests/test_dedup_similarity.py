@@ -531,3 +531,69 @@ def test_minhash_dedup_exact_closure_beats_bounded_on_deep_chain(spark):
     # 3 rounds reach 3 hops: doc 10 is still its horizon's minimum and
     # wrongly survives — the case exact=True exists for
     assert bounded == {2, 10, 50}
+
+
+@pytest.mark.parametrize(
+    "seed,n_cells,max_bucket",
+    [(11, 4, 8), (12, 6, 4), (13, 10, 64), (14, 3, 2)],
+)
+def test_semantic_dedup_pairs_randomized_differential(
+    spark, seed, n_cells, max_bucket
+):
+    """Seeded randomized differential vs brute force across cluster counts
+    and caps (VERDICT r4 Next #8). Cluster-then-verify recall depends on
+    centroid assignment, so the EXACT contract is recomputed per config:
+    pairs among the ``max_bucket`` smallest ids of each cell whose cosine
+    clears the threshold — including configs where the cap BINDS
+    (n_cells=3, max_bucket=2 leaves most members outside the cap)."""
+    import numpy as np
+
+    from gchq_data_quality_spark.functions.similarity import (
+        assign_cells,
+        build_ivf_index,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_clusters = int(rng.integers(5, 15))
+    copies = int(rng.integers(2, 5))
+    rows, vecs = [], {}
+    vid = 0
+    for _ in range(n_clusters):
+        base = rng.normal(size=12)
+        base /= np.linalg.norm(base)
+        for _ in range(copies):
+            v = base + rng.normal(scale=float(rng.choice([0.005, 0.05])), size=12)
+            rows.append((vid, [float(x) for x in v]))
+            vecs[vid] = v
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    threshold = 0.98
+
+    _, centroids = build_ivf_index(df, n_cells=n_cells)
+    cells = {r["vec_id"]: r["cell"] for r in assign_cells(df, centroids).collect()}
+    members: dict = {}
+    for i in sorted(vecs):
+        members.setdefault(cells[i], []).append(i)
+    expected = set()
+    for cell_ids in members.values():
+        capped = cell_ids[:max_bucket]
+        for ai, i in enumerate(capped):
+            for j in capped[ai + 1:]:
+                a, b = vecs[i], vecs[j]
+                cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if cos >= threshold:
+                    expected.add((i, j))
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df,
+            threshold=threshold,
+            n_cells=n_cells,
+            max_bucket=max_bucket,
+            centroids=centroids,
+        ).collect()
+    }
+    assert got == expected
+    assert expected  # every config must actually plant qualifying pairs

@@ -190,14 +190,19 @@ def test_top_ngrams_is_take_ordered_not_full_sort(spark):
 
 
 def test_lsh_verified_pairs_no_cartesian_and_broadcast_free_big_side(spark):
-    """The LSH->verify pipeline must never plan a cartesian product; every
-    join is an equi-join on band/bucket or pair ids."""
+    """The LSH->verify pipeline (carry-shingles shape, r5): the shingle
+    arrays ride the bucket structs and the exact Jaccard runs in the pair-
+    expansion lambda, so the plan must contain NO join operator at all —
+    and the shingle fold must be pinned below a repartition exchange so it
+    computes once (measured 2.05 s vs the join verify's 3.53 s at sf0.1)."""
     import __spark_entry__ as entry_mod
 
     df = entry_mod.queries()["lsh_verified_pairs"](spark, SF)
     plan = _plan(df)
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # one bucket explode + one pair expansion, nothing recomputed
+    assert plan.count("Generate") == 2, plan
 
 
 def test_decontamination_query_broadcasts_probe_grams(spark):
@@ -307,3 +312,28 @@ def test_vocab_coverage_has_no_unpartitioned_window(spark):
     assert window_lines  # the banded cumulation window must exist
     for line in window_lines:
         assert line.count("], [") >= 2, line
+
+
+def test_exact_dedup_ids_shuffle_is_payload_free(spark, tmp_path):
+    """The payload-light dedup variant (VERDICT r4 Next #6): the dedup-side
+    shuffle — Exchange hashpartitioning on the __fp fingerprint — must read
+    ONLY (text, id), never the binary payload. The plan prints a subtree's
+    children after the Exchange line, so everything after `hashpartitioning
+    (__fp` is the loser-id lineage; the payload column appearing there (in
+    the pruned FileScan ReadSchema or any node above it) means the image
+    bytes ride the dedup shuffle (the 100 TB failure mode)."""
+    from gchq_data_quality_spark.functions.dedup import exact_dedup, exact_dedup_ids
+    from gchq_data_quality_spark.sources.synthetic import generate_images_df
+
+    path = str(tmp_path / "images.parquet")
+    generate_images_df(spark, 50).write.parquet(path)
+    images = spark.read.parquet(path)
+    deduped = exact_dedup_ids(images, "caption", "image_id")
+    plan = _plan(deduped)
+    assert "hashpartitioning(__fp" in plan, plan
+    dedup_subtree = plan.split("hashpartitioning(__fp", 1)[1]
+    assert "bytes" not in dedup_subtree, dedup_subtree
+    # result parity with the windowed form (same keeper rule)
+    full = {r["image_id"] for r in exact_dedup(images, "caption", "image_id").collect()}
+    light = {r["image_id"] for r in deduped.collect()}
+    assert light == full
