@@ -115,7 +115,11 @@ def run_pipeline_once(spark, images_path: str, out_path: str) -> dict:
     images = spark.read.parquet(images_path)
     t0 = time.time()
     annotated = pipe.annotate(images)
-    annotated.write.mode("overwrite").parquet(out_path)
+    # zstd, not the snappy default: fastest end-to-end on this write
+    # (min-of-4 interleaved at sf0.1: 1.575 s vs 1.874 s total —
+    # scripts/exp_write_path.py) and the better 100-TB codec (ratio at
+    # similar CPU). Matches sources/io.write_table's default.
+    annotated.write.mode("overwrite").option("compression", "zstd").parquet(out_path)
     write_sec = time.time() - t0
     t1 = time.time()
     report = pipe.audit(spark.read.parquet(out_path))
@@ -220,7 +224,12 @@ def _stage_runner(spark, images_path: str, mode: str):
 
         def run() -> float:
             t0 = time.time()
-            spark.read.parquet(images_path).write.mode("overwrite").parquet(out)
+            (
+                spark.read.parquet(images_path)
+                .write.mode("overwrite")
+                .option("compression", "zstd")  # match the headline write
+                .parquet(out)
+            )
             return time.time() - t0
         return run
     # default: the full compute path
@@ -338,7 +347,7 @@ def measure_scaling(images_path: str, lo: int, hi: int, rounds: int,
     attempt with the cleanest control, and report every attempt's summary
     so nothing is hidden (VERDICT r4 Next #1).
     """
-    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "2"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "3"))
     factor = hi / lo
     attempts = []
     best = None

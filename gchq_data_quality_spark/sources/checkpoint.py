@@ -146,7 +146,15 @@ def run_checkpointed(
         part = bucketed.filter(F.col(BUCKET_COL).isin(batch))
         if transform is not None:
             part = transform(part)
-        part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(output_path)
+        # zstd to match sources.io.write_table: measured fastest end-to-end
+        # on the image-payload write (scripts/exp_write_path.py) and the
+        # better ratio for the 100-TB at-rest + downstream-scan cost
+        (
+            part.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .option("compression", "zstd")
+            .parquet(output_path)
+        )
         elapsed = time.time() - t0
         # lineage: per-bucket row counts from the files just written
         counts = {

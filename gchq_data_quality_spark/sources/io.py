@@ -34,14 +34,28 @@ def write_table(
     path_or_table: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    compression: str | None = "zstd",
 ) -> None:
+    """Write an Iceberg table (catalog name) or a parquet path.
+
+    Default parquet codec is zstd: measured fastest end-to-end on the
+    image-payload pipeline write (min-of-4 interleaved at sf0.1: zstd
+    1.575 s vs snappy 1.874 s total — scripts/exp_write_path.py), and at
+    100 TB its better compression ratio directly cuts storage and the
+    downstream scan's IO. Pass ``compression=None`` to keep the session
+    default.
+    """
     spark = df.sparkSession
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if "/" not in path_or_table and _has_iceberg(spark):
+        if compression:
+            writer = writer.option("write.parquet.compression-codec", compression)
         writer.format("iceberg").saveAsTable(path_or_table)
     else:
+        if compression:
+            writer = writer.option("compression", compression)
         writer.parquet(path_or_table)
 
 
