@@ -32,10 +32,15 @@ from pathlib import Path
 BENCH_DIR = Path(os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench"))
 
 # Calm-phase time of the fixed headline control job (range(2e9) sum(id%1000)
-# at local[32]), measured min-of-k on an idle host (BASELINE.md round-5
-# notes). Every headline burst reports its own control next to this
-# reference so throughput can be drift-normalized.
-REF_CONTROL_SEC = float(os.environ.get("SPARK_GRAFT_REF_CONTROL_SEC", "1.1"))
+# at local[32]), measured min-of-k on an idle host AFTER codegen warm-up
+# (r5 canonical run: samples 0.388/0.242/0.216/0.215 — the warmed floor is
+# ~0.21 s; the initial 1.1 calibration was taken pre-warm-up in a busy
+# phase and overstated the floor 5x, which made images_per_sec_vs_control
+# meaningless). Every headline burst reports its own control next to this
+# reference so throughput can be drift-normalized: vs_control multiplies
+# by (control_sec / REF), estimating the calm-phase reading. control_sec
+# at or below REF means the burst ran at full machine speed.
+REF_CONTROL_SEC = float(os.environ.get("SPARK_GRAFT_REF_CONTROL_SEC", "0.21"))
 
 
 def sf_from_dir(sf_dir: str) -> float:

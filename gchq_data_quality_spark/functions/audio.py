@@ -177,7 +177,9 @@ def _features_for(raw: bytes, fmt: str) -> dict:
             "clipping_ratio": float(np.mean(np.abs(mono) >= 32766 / 32768)),
             "decode_error": None,
         }
-    except (ValueError, NotImplementedError, struct.error) as exc:
+    except (
+        ValueError, NotImplementedError, struct.error, IndexError, OverflowError
+    ) as exc:
         return {
             "duration_sec": None,
             "decoded_sample_rate": None,

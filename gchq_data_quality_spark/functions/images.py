@@ -128,6 +128,8 @@ def resize_images(
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         for pdf in batches:
             out_bytes, out_ws, out_hs = [], [], []
             for raw, fmt in zip(pdf[bytes_col], pdf[fmt_col], strict=True):
@@ -137,7 +139,13 @@ def resize_images(
                     out_bytes.append(encode_ppm(resized))
                     out_ws.append(out_w)
                     out_hs.append(out_h)
-                except (NotImplementedError, ValueError):
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    _struct.error,
+                    IndexError,
+                    OverflowError,
+                ):
                     out_bytes.append(bytes(raw))
                     out_ws.append(None)
                     out_hs.append(None)
@@ -151,7 +159,10 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, bytes_col, "w", "h", fmt_col).mapInPandas(
+    # Only the columns the UDF reads cross the Arrow boundary; original
+    # dims (w/h) are not required on the input — output dims are the
+    # requested ones (or NULL on passthrough).
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
         _resize, schema=RESIZE_SCHEMA
     )
 
@@ -257,6 +268,8 @@ def extract_image_features(
     """
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         for pdf in batches:
             out = {
                 "image_id": pdf[id_col],
@@ -269,7 +282,13 @@ def extract_image_features(
             for i, (raw, fmt) in enumerate(zip(pdf[bytes_col], pdf[fmt_col], strict=True)):
                 try:
                     img = decode_image(bytes(raw), fmt)
-                except (NotImplementedError, ValueError):
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    _struct.error,
+                    IndexError,
+                    OverflowError,
+                ):
                     continue
                 means = img.reshape(-1, 3).mean(axis=0)
                 out["mean_r"][i] = means[0]

@@ -210,7 +210,7 @@ def _features_for(raw: bytes, fmt: str, every_n: int) -> dict:
             "motion": motion,
             "decode_error": None,
         }
-    except (ValueError, NotImplementedError) as exc:
+    except (ValueError, NotImplementedError, IndexError, OverflowError) as exc:
         return {
             "n_frames": None,
             "fps": None,

@@ -47,6 +47,32 @@ def test_resize_passthrough_on_unknown_codec(spark):
     assert all(r.w is None and r.h is None for r in rows)
 
 
+def test_resize_and_features_survive_truncated_buffers(spark):
+    """Struct-level garbage (truncated header/payload, not just an unknown
+    codec) must degrade per-row in resize_images AND extract_image_features —
+    the same expected-data-error tuple as the ahash loop (ADVICE r4)."""
+    good = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    rows = [
+        ("ok", good, "ppm"),
+        ("trunc_header", good[:5], "ppm"),          # IndexError in decode_ppm
+        ("trunc_pixels", b"P6\n4 4\n255\n\x00", "ppm"),  # short frombuffer
+        ("not_ppm", b"garbage", "ppm"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+    resized = {r.image_id: r for r in resize_images(df, 2, 2).collect()}
+    assert resized["ok"].w == 2 and resized["ok"].h == 2
+    for bad in ("trunc_header", "trunc_pixels", "not_ppm"):
+        assert resized[bad].w is None  # passthrough, not task failure
+
+    feats = {r.image_id: r for r in extract_image_features(df).collect()}
+    assert feats["ok"].decode_ok
+    for bad in ("trunc_header", "trunc_pixels", "not_ppm"):
+        assert not feats[bad].decode_ok
+        b = feats[bad].brightness
+        assert b is None or b != b  # NULL or NaN, never a decoded value
+
+
 def test_feature_extraction(spark):
     df = generate_images_df(spark, 10)
     feats = extract_image_features(df).collect()
