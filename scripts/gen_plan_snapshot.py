@@ -26,9 +26,12 @@ def main() -> None:
     spark = get_spark(cores=8, app_name="gen-plans")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
     for name in names:
         df = queries[name](spark, SF_DIR)
-        plan = df._jdf.queryExecution().explainString("simple")
+        plan = df._jdf.queryExecution().explainString(mode)
         print(f"## {name}\n")
         print("```")
         for line in plan.splitlines()[:40]:
