@@ -131,15 +131,20 @@ def exact_dedup_incremental(
     frame of prior fingerprints, e.g. ``fingerprints()`` of previous
     batches), then exact-dedup within the batch itself.
 
-    The history probe is a LEFT ANTI join on the 64-bit fingerprint —
-    shuffle bounded by the fingerprint column (8 bytes/row), never the
-    text; with AQE it broadcasts automatically when the history side is
-    small. The within-batch pass uses the payload-light ``exact_dedup_ids``
-    (min-id keeper over a (fp, id) projection): incremental callers are the
-    image+caption ingestion path, where windowing the full frame would put
-    the binary payload through the dedup shuffle. This is the append-only
-    ingestion pattern: each run emits its survivors' fingerprints
-    (``fingerprints``) to extend the history for the next run.
+    The entire duplicate decision — history probe AND within-batch min-id
+    keeper — runs over a (fingerprint, id) projection, so no fp-keyed
+    shuffle ever carries the row payload (incremental callers are the
+    image+caption ingestion path, where the binary column dwarfs
+    everything else). One LEFT join against the distinct history
+    fingerprints marks already-ingested rows; the min-id window rides the
+    same __fp partitioning the join just established (sort-merge at scale:
+    no extra exchange; AQE broadcast when the history is small); losers =
+    marked-in-history OR row_number > 1. Survivors are selected with a
+    single LEFT ANTI join of the full frame against the loser ids — on a
+    mostly-fresh batch that side is small and AQE broadcasts it, so the
+    payload never shuffles at all. This is the append-only ingestion
+    pattern: each run emits its survivors' fingerprints (``fingerprints``)
+    to extend the history for the next run.
 
     NULL texts never deduplicate: ``fingerprint(NULL)`` is one constant,
     which would collapse every missing-text row (a defect class for the
@@ -148,15 +153,21 @@ def exact_dedup_incremental(
     """
     fp = fingerprint(F.col(text_col)) if normalise else F.xxhash64(F.col(text_col))
     null_rows = df.filter(F.col(text_col).isNull())
-    probe = history_fps.select(F.col(fp_col).alias("__fp")).distinct()
-    fresh = (
-        df.filter(F.col(text_col).isNotNull())
-        .withColumn("__fp", fp)
-        .join(probe, "__fp", "left_anti")
-        .drop("__fp")
+    non_null = df.filter(F.col(text_col).isNotNull())
+    probe = (
+        history_fps.select(F.col(fp_col).alias("__fp"))
+        .distinct()
+        .withColumn("__in_hist", F.lit(True))
     )
-    deduped = exact_dedup_ids(fresh, text_col, id_col, normalise=normalise)
-    return deduped.unionByName(null_rows)
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    losers = (
+        non_null.select(fp.alias("__fp"), F.col(id_col))
+        .join(probe, "__fp", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__in_hist").isNotNull() | (F.col("__rn") > 1))
+        .select(id_col)
+    )
+    return non_null.join(losers, id_col, "left_anti").unionByName(null_rows)
 
 
 def fingerprints(

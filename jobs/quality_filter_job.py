@@ -158,10 +158,14 @@ def main(argv: list[str] | None = None) -> None:
                 "lineages — use a fresh manifest"
             )
         _m.merge_meta("history_fps", {"path": args.history_fps})
-        # incremental ingestion: drop rows already shipped by prior runs —
-        # a left-anti probe on 8-byte caption fingerprints (never the
-        # text/bytes), applied BEFORE bucketing so resume lineage sees the
-        # same filtered input every run (the probe is deterministic).
+        # incremental ingestion: drop rows already shipped by prior runs,
+        # applied BEFORE bucketing so resume lineage sees the same filtered
+        # input every run (the probe is deterministic). Payload-light (r5):
+        # the fingerprint probe joins a (fp, id) projection — when the
+        # history outgrows AQE's broadcast threshold the fp shuffle carries
+        # 16 bytes/row, never the image bytes; the full frame is then
+        # anti-joined against the (small, mostly-empty) already-ingested id
+        # set, which AQE broadcasts on a typical fresh batch.
         # NULL captions bypass: fingerprint(NULL) is one constant and must
         # never collapse or cross-drop the missing-caption defect class.
         from pyspark.sql import functions as F
@@ -174,11 +178,15 @@ def main(argv: list[str] | None = None) -> None:
             .distinct()
         )
         cap = F.col(config.caption_col)
+        ingested_ids = (
+            df.filter(cap.isNotNull())
+            .select(fingerprint(cap).alias("__hist_fp"), F.col(config.id_col))
+            .join(probe, "__hist_fp", "left_semi")
+            .select(config.id_col)
+        )
         df = (
             df.filter(cap.isNotNull())
-            .withColumn("__hist_fp", fingerprint(cap))
-            .join(probe, "__hist_fp", "left_anti")
-            .drop("__hist_fp")
+            .join(ingested_ids, config.id_col, "left_anti")
             .unionByName(df.filter(cap.isNull()))
         )
 

@@ -52,6 +52,11 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     spark = get_spark(cores=int(os.environ.get("CPUS", "32")), app_name="oracle-mirror")
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("ANSI") == "1":
+        # Simulate the DRIVER's session: Spark 4 defaults to ANSI mode there,
+        # so a wrapping multiply raises ARITHMETIC_OVERFLOW. The query surface
+        # must be overflow-free by construction (CLAUDE.md invariants).
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     oracle = entry_mod.oracle_sql()
     queries = entry_mod.queries()
     results = {}

@@ -145,3 +145,23 @@ def test_round4_queries_under_ansi(ansi):
         "value_percentiles_by_type",
     ):
         assert qs[name](ansi, sf).count() > 0, name
+
+
+def test_round5_queries_under_ansi(ansi):
+    """Round-5 additions: the merged two-row rule queries are pure aggregate
+    counts; embedding_pairs_oracle derives planted floats from 31-bit hashes
+    (no integer multiply past 2^62) and verifies cosine in doubles;
+    minhash_candidates and the in-struct lsh_verified_pairs verify reuse the
+    overflow-free pmod family arithmetic. All must complete under ANSI."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "rule_completeness_pair",
+        "rule_accuracy_pair",
+        "embedding_pairs_oracle",
+        "minhash_candidates",
+        "lsh_verified_pairs",
+    ):
+        assert qs[name](ansi, sf).count() > 0, name

@@ -446,6 +446,62 @@ def test_semantic_dedup_pairs_cluster_then_verify(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_exact_dedup_incremental_randomized_differential(spark):
+    """Seeded randomized differential for the fused (fp, id)-lineage
+    rewrite (r5): history probe + min-id keeper in one window over the
+    LEFT-join output. Oracle: pure-Python set/dict arithmetic over the
+    normalised text (case + whitespace only here, so the Python normal
+    form `' '.join(t.lower().split())` matches the engine's). Covers
+    empty history, heavy overlap, in-batch duplicate runs, and NULLs."""
+    import random
+
+    from gchq_data_quality_spark.functions.dedup import (
+        exact_dedup_incremental,
+        fingerprints,
+    )
+
+    pool = [f"doc number {i} about topic {i % 7}" for i in range(30)]
+
+    def messy(t, rng):
+        # case/whitespace noise only — normalisation-equivalent variants
+        words = t.split()
+        words = [w.upper() if rng.random() < 0.3 else w for w in words]
+        return ("  " if rng.random() < 0.3 else "") + ("  ".join(words))
+
+    for seed, n_hist, n_batch, p_null in [(0, 10, 40, 0.1), (1, 0, 25, 0.0),
+                                          (2, 25, 60, 0.2)]:
+        rng = random.Random(seed)
+        hist_rows = [(i, messy(rng.choice(pool), rng)) for i in range(n_hist)]
+        batch_rows = [
+            (100 + i,
+             None if rng.random() < p_null else messy(rng.choice(pool), rng))
+            for i in range(n_batch)
+        ]
+        history = fingerprints(
+            spark.createDataFrame(hist_rows or [(0, "x")],
+                                  "doc_id long, text string").limit(n_hist),
+            "text",
+        )
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+        norm = lambda t: " ".join(t.lower().split())
+        hist_norm = {norm(t) for _, t in hist_rows}
+        keeper = {}
+        expected = set()
+        for i, t in batch_rows:
+            if t is None:
+                expected.add(i)  # NULLs always pass through
+            elif norm(t) not in hist_norm and norm(t) not in keeper:
+                keeper[norm(t)] = i
+                expected.add(i)
+        got = {
+            r.doc_id
+            for r in exact_dedup_incremental(batch, history, "text",
+                                             "doc_id").collect()
+        }
+        assert got == expected, (seed, got ^ expected)
+
+
 def test_exact_dedup_incremental_against_history(spark):
     """Append-only ingestion: batch 2 drops rows whose (normalised) text
     already shipped in batch 1, then dedups within itself; the emitted

@@ -337,3 +337,26 @@ def test_exact_dedup_ids_shuffle_is_payload_free(spark, tmp_path):
     full = {r["image_id"] for r in exact_dedup(images, "caption", "image_id").collect()}
     light = {r["image_id"] for r in deduped.collect()}
     assert light == full
+
+
+def test_exact_dedup_incremental_shuffles_are_payload_free(spark, tmp_path):
+    """The incremental ingestion path (r5): BOTH the history probe and the
+    within-batch keeper decision run over a (fp, id) projection sharing one
+    __fp-keyed join/window lineage — the binary payload must appear in NO
+    __fp-partitioned subtree (history too big to broadcast is the 100 TB
+    norm), only in the final loser-id anti-join's probe side."""
+    from gchq_data_quality_spark.functions.dedup import exact_dedup_incremental
+    from gchq_data_quality_spark.sources.synthetic import generate_images_df
+
+    path = str(tmp_path / "images_inc.parquet")
+    generate_images_df(spark, 50).write.parquet(path)
+    images = spark.read.parquet(path)
+    history = spark.range(5).select(F.col("id").alias("fp"))
+    kept = exact_dedup_incremental(images, history, "caption", "image_id")
+    plan = _plan(kept)
+    assert "hashpartitioning(__fp" in plan, plan
+    # the fp-keyed lineage ends where the union's NULL-text bypass branch
+    # (Filter isnull(caption)) begins — that full-payload scan is the union
+    # sibling, not part of any __fp shuffle
+    fp_subtree = plan.split("hashpartitioning(__fp", 1)[1].split("Filter isnull(", 1)[0]
+    assert "bytes" not in fp_subtree, fp_subtree
