@@ -145,6 +145,124 @@ def char_repetition_ratio(col: Column, run_len: int = 4) -> Column:
     return F.when(total > 0, (total - collapsed) / total).otherwise(F.lit(0.0))
 
 
+def duplicate_line_fraction(col: Column) -> Column:
+    """Fraction of newline-delimited lines that are repeats of another line
+    (Gopher repetition filter family; Rae et al. 2021 §A1.1): 1 -
+    distinct_lines / lines. Boilerplate-heavy pages (nav menus, cookie
+    banners repeated per section) score high. Pure array ops, no shuffle."""
+    lines = F.split(col, r"\n")
+
+    def _from_lines(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(arr)) / n
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(lines), _from_lines)[0]
+
+
+def duplicate_line_char_fraction(col: Column) -> Column:
+    """Fraction of characters sitting in repeat occurrences of a line:
+    (total_line_chars - distinct_line_chars) / total_line_chars. The
+    character-weighted companion of ``duplicate_line_fraction`` — a page
+    whose one duplicated line is 90% of the text scores high even though
+    only 1/N lines repeats. Empty docs (and all-empty lines) score 0."""
+    lines = F.split(col, r"\n")
+    zero = F.lit(0).cast("long")
+
+    def _from_lines(arr: Column) -> Column:
+        total = F.aggregate(arr, zero, lambda acc, x: acc + F.length(x))
+        dist = F.aggregate(
+            F.array_distinct(arr), zero, lambda acc, x: acc + F.length(x)
+        )
+        return F.when(total > 0, (total - dist) / total).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(lines), _from_lines)[0]
+
+
+def _word_ngram_strings(col: Column, n: int) -> Column:
+    """Space-joined lowercase word n-grams via zip_with over shifted slices
+    (the O(tokens) construction from repetition_ratio, kept as STRINGS here
+    because the char-fraction metrics need each gram's length)."""
+    tokens = F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+
+    def _from_tokens(arr: Column) -> Column:
+        n_tokens = F.size(arr)
+        # Every slice is trimmed to the GRAM count, not the shift's natural
+        # length: zip_with pads the shorter side with nulls, so a too-long
+        # shifted slice on a doc with fewer than n tokens would fabricate
+        # [null] grams (and null-skipping F.least turns null fractions
+        # into 1.0 downstream).
+        n_grams = F.greatest(n_tokens - F.lit(n - 1), F.lit(0))
+        grams = F.slice(arr, 1, n_grams)
+        for k in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice(arr, k + 1, n_grams),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return grams
+
+    return F.transform(F.array(tokens), _from_tokens)[0]
+
+
+def top_ngram_char_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of the document's characters attributable to its single most
+    frequent word n-gram: max over distinct grams of count*len(gram), over
+    total chars (Gopher: docs whose top 2/3/4-gram covers >20/18/16% of
+    characters are dropped). Clipped to 1.0 since overlapping occurrences
+    can double-count characters.
+
+    Per-row cost is O(distinct_grams * grams) inside one codegen'd
+    expression — fine for captions and web pages (the quality-filter
+    input); for book-length outliers pair with a length gate first. No
+    shuffle, no UDF; the gram array is bound once (HOF subtrees get no
+    subexpression elimination — see repetition_ratio)."""
+    grams = _word_ngram_strings(col, n)
+    total = F.length(col)
+
+    def _from_grams(g: Column) -> Column:
+        per_gram = F.transform(
+            F.array_distinct(g),
+            lambda d: F.size(F.filter(g, lambda x: x == d)) * F.length(d),
+        )
+        top = F.coalesce(F.array_max(per_gram), F.lit(0))
+        return F.when(total > 0, F.least(top / total, F.lit(1.0))).otherwise(
+            F.lit(0.0)
+        )
+
+    return F.transform(F.array(grams), _from_grams)[0]
+
+
+def duplicate_ngram_char_fraction(col: Column, n: int = 5) -> Column:
+    """Fraction of characters in repeat occurrences of any word n-gram:
+    sum over duplicated grams of (count-1)*len(gram), over total chars
+    (the RedPajama-quality-signal reading of Gopher's dup-n-gram filters,
+    n = 5..10: all occurrences beyond the first count as duplicated).
+    Clipped to 1.0 — overlapping grams can double-count characters.
+    Same O(distinct_grams * grams) per-row bound and bind-once shape as
+    ``top_ngram_char_fraction``."""
+    grams = _word_ngram_strings(col, n)
+    total = F.length(col)
+    zero = F.lit(0).cast("long")
+
+    def _from_grams(g: Column) -> Column:
+        dup_chars = F.aggregate(
+            F.transform(
+                F.array_distinct(g),
+                lambda d: (F.size(F.filter(g, lambda x: x == d)) - 1)
+                * F.length(d),
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        return F.when(
+            total > 0, F.least(dup_chars / total, F.lit(1.0))
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(grams), _from_grams)[0]
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint over normalised text.
 

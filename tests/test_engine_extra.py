@@ -141,7 +141,11 @@ def test_report_json_file_roundtrip(tmp_path, spark):
 def test_curation_example_runs_end_to_end():
     """The examples are user-facing documentation — they must keep running
     (an uncovered NTZ-timestamp regression hid in the as-of section for a
-    round). Subprocess: the example owns (and stops) its own session."""
+    round). Subprocess: the example owns (and stops) its own session.
+    Timeout headroom is 7x the measured calm-phase runtime (123 s):
+    under pytest the example shares the host with the suite's idle JVM,
+    and degraded host phases run 3-4x slow (BASELINE.md drift notes) —
+    420 s tripped spuriously in one such phase (r5)."""
     import subprocess
     import sys
     from pathlib import Path
@@ -150,7 +154,7 @@ def test_curation_example_runs_end_to_end():
     proc = subprocess.run(
         [sys.executable, str(repo / "examples" / "curation_ops_example.py"),
          "/root/testdata/sf0.001"],
-        capture_output=True, text=True, timeout=420,
+        capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "vocabulary coverage" in proc.stdout
