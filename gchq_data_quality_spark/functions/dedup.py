@@ -125,6 +125,7 @@ def exact_dedup_incremental(
     id_col: str,
     normalise: bool = True,
     fp_col: str = "fp",
+    history_bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an already-ingested corpus: drop rows whose
     (normalised) text fingerprint appears in ``history_fps`` (a 1-column
@@ -150,10 +151,33 @@ def exact_dedup_incremental(
     which would collapse every missing-text row (a defect class for the
     RULES to flag, not delete) into a single survivor — they bypass both
     the history probe and the within-batch pass.
+
+    ``history_bloom_fpp`` turns on a batch-side Bloom prefilter of the
+    HISTORY (functions/bloom.py): when the history dwarfs the batch
+    (10^12 accumulated fingerprints vs a 10^9-row ingest), the probe
+    join's history side is the dominant shuffle; filtering it map-side
+    against a broadcast bloom of the batch's fingerprints shrinks that
+    side to |batch| + fpp*|history| before any exchange. Correctness is
+    unconditional — a Bloom has no false negatives, so every true
+    duplicate still reaches the join; false positives merely ride along
+    and lose the join anyway. Leave None (default) when history and batch
+    are comparable: the bloom build is an extra pass over the batch
+    fingerprints and only pays for itself when it deletes a much larger
+    history shuffle.
     """
     fp = fingerprint(F.col(text_col)) if normalise else F.xxhash64(F.col(text_col))
     null_rows = df.filter(F.col(text_col).isNull())
     non_null = df.filter(F.col(text_col).isNotNull())
+    if history_bloom_fpp is not None:
+        from gchq_data_quality_spark.functions.bloom import (
+            bloom_prefilter,
+            build_bloom,
+        )
+
+        batch_bloom = build_bloom(
+            non_null.select(fp.alias("__fp")), "__fp", fpp=history_bloom_fpp
+        )
+        history_fps = bloom_prefilter(history_fps, fp_col, batch_bloom)
     probe = (
         history_fps.select(F.col(fp_col).alias("__fp"))
         .distinct()

@@ -59,6 +59,16 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "against the already-ingested corpus. NULL captions "
                         "never match (they are a rule-flagged defect class, "
                         "not dedup casualties)")
+    p.add_argument("--history-bloom-fpp", type=float, default=0.0,
+                   help="> 0: before the --history-fps probe join, drop "
+                        "history fingerprints map-side against a Bloom "
+                        "filter of THIS batch's fingerprints built at the "
+                        "given false-positive rate (e.g. 0.01). Pays off "
+                        "when the accumulated history dwarfs the batch — "
+                        "the history side of the probe join shrinks to "
+                        "|batch| + fpp*|history| before any shuffle; "
+                        "results are identical either way (no false "
+                        "negatives)")
     p.add_argument("--emit-fps", default=None,
                    help="after the run, write the output captions' distinct "
                         "fingerprints here (parquet, column 'fp') — union "
@@ -178,6 +188,25 @@ def main(argv: list[str] | None = None) -> None:
             .distinct()
         )
         cap = F.col(config.caption_col)
+        if args.history_bloom_fpp > 0:
+            # Bloom-of-batch prefilter of the HISTORY side (functions/
+            # bloom.py): at corpus scale the accumulated history dwarfs
+            # each batch, and this drops non-candidate history rows
+            # map-side before the probe join's exchange. No false
+            # negatives, so survivors are identical with or without it.
+            from gchq_data_quality_spark.functions.bloom import (
+                bloom_prefilter,
+                build_bloom,
+            )
+
+            batch_bloom = build_bloom(
+                df.filter(cap.isNotNull()).select(
+                    fingerprint(cap).alias("__fp")
+                ),
+                "__fp",
+                fpp=args.history_bloom_fpp,
+            )
+            probe = bloom_prefilter(probe, "__hist_fp", batch_bloom)
         ingested_ids = (
             df.filter(cap.isNotNull())
             .select(fingerprint(cap).alias("__hist_fp"), F.col(config.id_col))

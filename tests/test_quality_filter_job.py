@@ -343,6 +343,51 @@ def test_job_incremental_history_dedup_across_runs(spark, tmp_path, capsys):
     ).count()
 
 
+def test_job_history_bloom_prefilter_is_transparent(spark, tmp_path, capsys):
+    """--history-bloom-fpp only shrinks the history side of the probe
+    join (no false negatives): survivors are row-for-row identical to the
+    plain --history-fps run."""
+    from pyspark.sql import functions as F
+
+    fps1 = tmp_path / "fps1"
+    quality_filter_job.main(
+        [
+            "--synthetic", "150",
+            "--output", str(tmp_path / "out1"),
+            "--audit", str(tmp_path / "audit1"),
+            "--manifest", str(tmp_path / "m1.json"),
+            "--n-buckets", "2",
+            "--emit-fps", str(fps1),
+        ]
+    )
+    capsys.readouterr()
+    outs = {}
+    for name, extra in {
+        "plain": [],
+        "bloom": ["--history-bloom-fpp", "0.01"],
+    }.items():
+        quality_filter_job.main(
+            [
+                "--synthetic", "300",
+                "--output", str(tmp_path / f"out_{name}"),
+                "--audit", str(tmp_path / f"audit_{name}"),
+                "--manifest", str(tmp_path / f"m_{name}.json"),
+                "--n-buckets", "2",
+                "--history-fps", str(fps1),
+                *extra,
+            ]
+        )
+        capsys.readouterr()
+        outs[name] = sorted(
+            r.image_id
+            for r in spark.read.parquet(str(tmp_path / f"out_{name}"))
+            .select("image_id")
+            .collect()
+        )
+    assert outs["plain"] == outs["bloom"]
+    assert len(outs["plain"]) > 0
+
+
 def test_job_history_toggle_on_resume_raises(spark, tmp_path, capsys):
     """Resuming a manifest with a DIFFERENT --history-fps (or after the
     history content would differ) mixes input lineages between completed
