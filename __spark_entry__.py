@@ -157,74 +157,86 @@ def _q_rule_accuracy_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_rule_validity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gchq_data_quality_spark import ValidityNumericalRangeRule
-
-    return _rule_metrics_df(
-        spark, _read(spark, sf_dir, "events"),
-        [ValidityNumericalRangeRule(field="value", min_value=10, max_value=400, rule_id="r")],
+def _metrics_rows_df(spark: SparkSession, metrics) -> DataFrame:
+    """Metric objects (possibly from several compute_metrics calls over
+    different tables) -> the standard 4-column rule-metrics frame."""
+    rows = [
+        (
+            m.rule.rule_id,
+            int(m.records_evaluated),
+            int(m.records_passing),
+            round(m.pass_rate, 6) if m.pass_rate is not None else None,
+        )
+        for m in metrics
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule_id string, records_evaluated long, records_passing long, pass_rate double",
     )
 
 
-def _q_rule_validity_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gchq_data_quality_spark import ValidityRegexRule
+def _q_rule_validity_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Validity rules (numeric range on events.value, anchored regex
+    on documents.source) as ONE two-row query — merged in r5 to free
+    driver-window slots for the new curation/repetition/packing oracles."""
+    from gchq_data_quality_spark import ValidityNumericalRangeRule, ValidityRegexRule
+    from gchq_data_quality_spark.engine import compute_metrics
 
-    return _rule_metrics_df(
-        spark, _read(spark, sf_dir, "documents"),
-        [ValidityRegexRule(field="source", regex_pattern="src1[0-9]", rule_id="r")],
+    metrics = compute_metrics(
+        _read(spark, sf_dir, "events"),
+        [ValidityNumericalRangeRule(field="value", min_value=10, max_value=400, rule_id="range")],
+        collect_samples=False,
+    ) + compute_metrics(
+        _read(spark, sf_dir, "documents"),
+        [ValidityRegexRule(field="source", regex_pattern="src1[0-9]", rule_id="regex")],
+        collect_samples=False,
     )
+    return _metrics_rows_df(spark, metrics)
 
 
-def _q_rule_consistency_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_rule_consistency_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Consistency variants (plain expression on lineitem, if/then
+    evaluated-set restriction on events) as ONE two-row query (r5 merge)."""
     from gchq_data_quality_spark import ConsistencyRule
+    from gchq_data_quality_spark.engine import compute_metrics
 
-    return _rule_metrics_df(
-        spark, _read(spark, sf_dir, "lineitem"),
-        [ConsistencyRule(field="l_discount", expression="`l_discount` <= 0.05", rule_id="r")],
-    )
-
-
-def _q_rule_consistency_ifthen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gchq_data_quality_spark import ConsistencyRule
-
-    return _rule_metrics_df(
-        spark, _read(spark, sf_dir, "events"),
+    metrics = compute_metrics(
+        _read(spark, sf_dir, "lineitem"),
+        [ConsistencyRule(field="l_discount", expression="`l_discount` <= 0.05", rule_id="simple")],
+        collect_samples=False,
+    ) + compute_metrics(
+        _read(spark, sf_dir, "events"),
         [
             ConsistencyRule(
                 field="value",
                 expression={"if": "`event_type` == 'purchase'", "then": "`value` > 50"},
-                rule_id="r",
+                rule_id="ifthen",
             )
         ],
+        collect_samples=False,
     )
+    return _metrics_rows_df(spark, metrics)
 
 
-def _q_rule_timeliness_static(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gchq_data_quality_spark import TimelinessStaticRule
+def _q_rule_timeliness_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Timeliness rules (static window, relative-to-reference interval)
+    over events in ONE compute_metrics call — a single aggregation pass for
+    both rows (r5 merge; same single-pass property as rules_single_pass)."""
+    from gchq_data_quality_spark import TimelinessRelativeRule, TimelinessStaticRule
 
     return _rule_metrics_df(
         spark, _read(spark, sf_dir, "events"),
         [
             TimelinessStaticRule(
-                field="ts", start_date="2024-01-10", end_date="2024-01-20", rule_id="r"
-            )
-        ],
-    )
-
-
-def _q_rule_timeliness_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gchq_data_quality_spark import TimelinessRelativeRule
-
-    return _rule_metrics_df(
-        spark, _read(spark, sf_dir, "events"),
-        [
+                field="ts", start_date="2024-01-10", end_date="2024-01-20", rule_id="static"
+            ),
             TimelinessRelativeRule(
                 field="ts",
                 start_timedelta="0d",
                 end_timedelta="5d",
                 reference_date="2024-01-15",
-                rule_id="r",
-            )
+                rule_id="relative",
+            ),
         ],
     )
 
@@ -1409,26 +1421,110 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality signals (r5) aggregated per lang:
+    mean top-2-gram char fraction, mean duplicated-3-gram char fraction, a
+    >0.2 top-2-gram flag count (the Gopher drop-threshold shape), and mean
+    duplicate-line fraction (trivially 0 on this corpus — it pins the
+    empty/NULL handling). The oracle replays the exact per-doc arithmetic
+    in DuckDB list lambdas, so the value-hash attests the whole gram
+    construction (token split, trimmed zip_with slices, clipping)."""
+    from gchq_data_quality_spark.functions.text import (
+        duplicate_line_fraction,
+        duplicate_ngram_char_fraction,
+        top_ngram_char_fraction,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    top2 = top_ngram_char_fraction(F.col("text"), 2)
+    dup3 = duplicate_ngram_char_fraction(F.col("text"), 3)
+    dline = duplicate_line_fraction(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.avg(top2), 5).alias("avg_top2_frac"),
+            F.round(F.avg(dup3), 5).alias("avg_dup3_frac"),
+            F.sum((top2 > 0.2).cast("long")).cast("long").alias("n_top2_flagged"),
+            F.round(F.avg(dline), 5).alias("avg_dup_line_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_curation_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cap + quantile-threshold curation composed (r5): cap events
+    at 200 rows per event_type (deterministic by event_id — the per-domain
+    cap shape; compiles to WindowGroupLimit so skewed keys pre-trim
+    map-side), then keep the top half by value per type via the exact
+    interpolating percentile cutoff (engine-reproducible: the cutoff is an
+    order statistic or strictly between two adjacent distinct values —
+    stats.filter_top_fraction(exact=True); the approx sketch is the 100-TB
+    default). NULL event_type is excluded up front: the cutoff join is
+    null-rejecting on the Spark side and DuckDB's GROUP BY would keep the
+    NULL group."""
+    from gchq_data_quality_spark.functions.stats import cap_per_key, filter_top_fraction
+
+    events = _read(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    capped = cap_per_key(events, "event_type", 200, "event_id")
+    kept = filter_top_fraction(
+        capped, "value", 0.5, group_cols=["event_type"], exact=True
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+            F.round(F.min("value"), 6).alias("min_kept_value"),
+            F.round(F.avg("value"), 6).alias("avg_kept_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_packed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token conservation through sequence packing (r5): pack documents
+    into exact-64-token training sequences (packing.pack_sequences — the
+    one legitimately stateful-per-partition mapInPandas operator) and
+    aggregate the PARTITION-INDEPENDENT invariants: total packed tokens
+    (= per-doc whitespace tokens + 1 separator each), the number of
+    distinct source docs in the lineage arrays, and the max sequence
+    length (= seq_len whenever any partition holds a full sequence — true
+    at every SF here). The per-partition sequence COUNTS depend on Spark's
+    hash partitioning and are pinned by tests instead, not SQL."""
+    from gchq_data_quality_spark.functions.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "text", "doc_id", seq_len=64, num_partitions=8)
+    totals = packed.agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.max("n_tokens").cast("int").alias("max_tokens"),
+    )
+    ndocs = (
+        packed.select(F.explode("doc_ids").alias("d"))
+        .agg(F.count_distinct("d").cast("long").alias("n_docs"))
+    )
+    return totals.crossJoin(ndocs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver checks queries in dict order and caps the
     run at ~50 entries (CORRECTNESS_r03 silently dropped entry #51 —
     VERDICT r3 Missing #1). Oracle-backed queries come first, then the
     rows-only checks ranked by how much arithmetic their value-hash pins.
-    r5: merging the completeness and accuracy rule pairs brought the total
-    to exactly 50, so ``minhash_candidates`` (still last) is back INSIDE
-    the window and regains its per-round driver signal (VERDICT r4 Next
-    #5); the ordering guard test also pins the <= 50 total."""
+    r5: merging the completeness/accuracy rule pairs brought the total to
+    exactly 50, putting ``minhash_candidates`` (still last) back INSIDE
+    the window (VERDICT r4 Next #5); merging the validity/consistency/
+    timeliness pairs then freed three more slots for the new r5 operator
+    oracles (gopher_repetition, curation_caps, packed_tokens) while the
+    total stays pinned at 50 (ordering guard test)."""
     return {
         # --- oracle-backed (rows + schema + value-hash vs DuckDB) ---
         "rule_completeness_pair": _q_rule_completeness_pair,
         "rule_uniqueness_users": _q_rule_uniqueness_users,
         "rule_accuracy_pair": _q_rule_accuracy_pair,
-        "rule_validity_range": _q_rule_validity_range,
-        "rule_validity_regex": _q_rule_validity_regex,
-        "rule_consistency_simple": _q_rule_consistency_simple,
-        "rule_consistency_ifthen": _q_rule_consistency_ifthen,
-        "rule_timeliness_static": _q_rule_timeliness_static,
-        "rule_timeliness_relative": _q_rule_timeliness_relative,
+        "rule_validity_pair": _q_rule_validity_pair,
+        "rule_consistency_pair": _q_rule_consistency_pair,
+        "rule_timeliness_pair": _q_rule_timeliness_pair,
         "rules_single_pass": _q_rules_single_pass,
         "text_stats_by_lang": _q_text_stats_by_lang,
         "token_counts": _q_token_counts,
@@ -1464,6 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": _q_top_bigrams,
         "numeric_profile": _q_numeric_profile,
         "pipeline_disagreements": _q_pipeline_disagreements,
+        "gopher_repetition": _q_gopher_repetition,
+        "curation_caps": _q_curation_caps,
+        "packed_tokens": _q_packed_tokens,
         # --- rows-only (no SQL-expressible oracle), by hash value ---
         "simhash_pairs": _q_simhash_pairs,
         "image_neardup_pairs": _q_image_neardup_pairs,
@@ -1515,36 +1614,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN COUNT(event_type) > 0 THEN ROUND(CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type <> 'error' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(event_type), 6) END
             FROM events
         """,
-        "rule_validity_range": rule_row.format(
-            evaluated="COUNT(value)",
-            passing="SUM(CASE WHEN value BETWEEN 10 AND 400 THEN 1 ELSE 0 END)",
-            table="events",
-        ),
-        "rule_validity_regex": rule_row.format(
-            evaluated="COUNT(source)",
-            passing="SUM(CASE WHEN regexp_matches(source, '^(?:src1[0-9])') THEN 1 ELSE 0 END)",
-            table="documents",
-        ),
-        "rule_consistency_simple": rule_row.format(
-            evaluated="COUNT(l_discount)",
-            passing="SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END)",
-            table="lineitem",
-        ),
-        "rule_consistency_ifthen": rule_row.format(
-            evaluated="SUM(CASE WHEN event_type = 'purchase' AND NOT (event_type IS NULL AND value IS NULL) THEN 1 ELSE 0 END)",
-            passing="SUM(CASE WHEN event_type = 'purchase' AND value > 50 THEN 1 ELSE 0 END)",
-            table="events",
-        ),
-        "rule_timeliness_static": rule_row.format(
-            evaluated="COUNT(ts)",
-            passing="SUM(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)",
-            table="events",
-        ),
-        "rule_timeliness_relative": rule_row.format(
-            evaluated="COUNT(ts)",
-            passing="SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)",
-            table="events",
-        ),
+        "rule_validity_pair": """
+            SELECT 'range' AS rule_id, CAST(COUNT(value) AS BIGINT) AS records_evaluated,
+                   CAST(SUM(CASE WHEN value BETWEEN 10 AND 400 THEN 1 ELSE 0 END) AS BIGINT) AS records_passing,
+                   CASE WHEN COUNT(value) > 0 THEN ROUND(CAST(SUM(CASE WHEN value BETWEEN 10 AND 400 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(value), 6) END AS pass_rate
+            FROM events
+            UNION ALL
+            SELECT 'regex', CAST(COUNT(source) AS BIGINT),
+                   CAST(SUM(CASE WHEN regexp_matches(source, '^(?:src1[0-9])') THEN 1 ELSE 0 END) AS BIGINT),
+                   CASE WHEN COUNT(source) > 0 THEN ROUND(CAST(SUM(CASE WHEN regexp_matches(source, '^(?:src1[0-9])') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(source), 6) END
+            FROM documents
+        """,
+        "rule_consistency_pair": """
+            SELECT 'simple' AS rule_id, CAST(COUNT(l_discount) AS BIGINT) AS records_evaluated,
+                   CAST(SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS records_passing,
+                   CASE WHEN COUNT(l_discount) > 0 THEN ROUND(CAST(SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(l_discount), 6) END AS pass_rate
+            FROM lineitem
+            UNION ALL
+            SELECT 'ifthen', CAST(SUM(CASE WHEN event_type = 'purchase' AND NOT (event_type IS NULL AND value IS NULL) THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 50 THEN 1 ELSE 0 END) AS BIGINT),
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase' AND NOT (event_type IS NULL AND value IS NULL) THEN 1 ELSE 0 END) > 0 THEN ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 50 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(CASE WHEN event_type = 'purchase' AND NOT (event_type IS NULL AND value IS NULL) THEN 1 ELSE 0 END), 6) END
+            FROM events
+        """,
+        "rule_timeliness_pair": """
+            SELECT 'static' AS rule_id, CAST(COUNT(ts) AS BIGINT) AS records_evaluated,
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END) AS BIGINT) AS records_passing,
+                   CASE WHEN COUNT(ts) > 0 THEN ROUND(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(ts), 6) END AS pass_rate
+            FROM events
+            UNION ALL
+            SELECT 'relative', CAST(COUNT(ts) AS BIGINT),
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END) AS BIGINT),
+                   CASE WHEN COUNT(ts) > 0 THEN ROUND(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(ts), 6) END
+            FROM events
+        """,
         "rules_single_pass": """
             SELECT 'complete' AS rule_id, COUNT(*) AS records_evaluated,
                    COUNT(event_type) AS records_passing,
@@ -2161,6 +2263,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BOOLEAN) AS keep,
                    CAST(NULL AS BOOLEAN) AS expected_keep
             WHERE 1 = 0
+        """,
+        # full DuckDB replica of the per-doc Gopher arithmetic: same token
+        # split (lower+trim, \s+, drop empties), same n-gram construction,
+        # same clip-to-1 and empty/NULL fallbacks as functions/text.py
+        "gopher_repetition": r"""
+            WITH base AS (
+                SELECT lang, text, length(text) AS total,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tokens,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), g AS (
+                SELECT lang, text, total, lines,
+                       CASE WHEN len(tokens) >= 2
+                            THEN list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i+1])
+                            ELSE [] END AS g2,
+                       CASE WHEN len(tokens) >= 3
+                            THEN list_transform(range(1, len(tokens) - 1), i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+                            ELSE [] END AS g3
+                FROM base
+            ), per_doc AS (
+                SELECT lang,
+                       CASE WHEN text IS NULL OR total = 0 THEN 0.0
+                            ELSE least(coalesce(list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d)) * length(d))), 0) / total, 1.0) END AS top2,
+                       CASE WHEN text IS NULL OR total = 0 THEN 0.0
+                            ELSE least(coalesce(list_sum(list_transform(list_distinct(g3), d -> (len(list_filter(g3, x -> x = d)) - 1) * length(d))), 0) / total, 1.0) END AS dup3,
+                       CASE WHEN text IS NULL THEN 0.0
+                            WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                            ELSE 0.0 END AS dline
+                FROM g
+            )
+            SELECT lang,
+                   ROUND(AVG(top2), 5) AS avg_top2_frac,
+                   ROUND(AVG(dup3), 5) AS avg_dup3_frac,
+                   CAST(SUM(CASE WHEN top2 > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_top2_flagged,
+                   ROUND(AVG(dline), 5) AS avg_dup_line_frac
+            FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        # row_number cap mirror + percentile_cont cutoff (exact mode keeps
+        # the kept-set engine-reproducible — see stats.filter_top_fraction)
+        "curation_caps": """
+            WITH capped AS (
+                SELECT event_id, event_type, value FROM (
+                    SELECT event_id, event_type, value,
+                           row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+                    FROM events WHERE event_type IS NOT NULL
+                ) WHERE rn <= 200
+            ), cuts AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS cut
+                FROM capped GROUP BY event_type
+            ), kept AS (
+                SELECT c.event_id, c.event_type, c.value
+                FROM capped c JOIN cuts u USING (event_type)
+                WHERE c.value IS NOT NULL AND c.value >= u.cut
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+                   ROUND(MIN(value), 6) AS min_kept_value,
+                   ROUND(AVG(value), 6) AS avg_kept_value
+            FROM kept GROUP BY event_type ORDER BY event_type
+        """,
+        # partition-independent packing invariants: each non-empty doc
+        # contributes its whitespace tokens + exactly one separator; the
+        # lineage arrays cover exactly the non-empty docs; max length is
+        # seq_len (64) whenever any partition holds a full sequence
+        "packed_tokens": r"""
+            WITH toks AS (
+                SELECT len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT CAST(SUM(n + 1) AS BIGINT) AS total_tokens,
+                   CAST(64 AS INT) AS max_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM toks WHERE n > 0
         """,
         # pipeline_keep_by_defect / langid_documents / minhash_candidates /
         # simhash_pairs / audio_features / video_features: model-scoring, LSH,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Lehmer/Park-Miller-style LCG over the Mersenne prime 2^31-1. The id is
@@ -161,3 +161,82 @@ def group_percentiles(
             expr = F.percentile(v, F.lit(q))
         aggs.append(F.round(expr, round_to).alias(name))
     return df.groupBy(*group_cols).agg(*aggs).orderBy(*group_cols)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    max_rows: int,
+    order_col: str,
+    descending: bool = False,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per key — the per-domain/per-source
+    cap every web-scale corpus applies so no single host dominates the
+    training mix (e.g. <= 10k docs per registered domain).
+
+    Deterministic: survivors are the first ``max_rows`` by ``order_col``
+    (ascending by default — pass ``descending=True`` to keep e.g. the
+    HIGHEST-quality-score rows). One shuffle on the key; the rank filter
+    compiles to a WindowGroupLimit, so each map task pre-trims its
+    partition to ``max_rows`` per key BEFORE the exchange — a skewed key
+    with 10^9 rows ships max_rows * n_tasks rows, not 10^9. ``order_col``
+    should be a total order (an id) for reproducible survivors; ties on a
+    non-unique column leave the survivor choice to Spark.
+    """
+    if max_rows <= 0:
+        raise ValueError("max_rows must be positive")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
+
+
+def filter_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    keep_fraction: float,
+    group_cols: Sequence[str] | None = None,
+    accuracy: int = 10_000,
+    exact: bool = False,
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of rows by score, optionally per
+    group — quantile-threshold curation ("keep the best 30% per language"),
+    the dynamic companion to fixed-threshold rules.
+
+    Two passes, never a global sort: (1) a bounded approx_percentile
+    sketch per group finds the score cutoff (state O(accuracy*log n) per
+    group regardless of group size, partials merge map-side); (2) the
+    cutoffs broadcast back onto the frame and the filter is a plain
+    map-side predicate. With grouping the join is broadcast (one row per
+    group); ungrouped it is a literal-free cross of a 1-row frame, same
+    shape as groupwise_outlier_counts. The kept share is approximate at
+    the sketch's rank-error bound (1/accuracy), systematically >= the
+    request when ties straddle the cutoff (>= comparison keeps them).
+    NULL scores are never kept.
+
+    ``exact=True`` swaps the sketch for the exact interpolating percentile
+    (ANSI ``percentile_cont`` semantics — the cutoff either equals an order
+    statistic bit-exactly or falls strictly between two adjacent distinct
+    scores, so the kept set is engine-reproducible). Exact mode buffers
+    each group's scores in the aggregation state — fine for bounded groups
+    and oracle checks; the sketch stays the 100-TB default.
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError("keep_fraction must be in (0, 1]")
+    q = 1.0 - keep_fraction
+    s = F.col(score_col)
+    if exact:
+        cutoff = F.percentile(s, F.lit(q)).alias("__cut")
+    else:
+        cutoff = F.approx_percentile(s, F.lit(q), F.lit(accuracy)).alias("__cut")
+    if group_cols:
+        keys = list(group_cols)
+        cuts = df.groupBy(*keys).agg(cutoff)
+        joined = df.join(F.broadcast(cuts), keys, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(cutoff)))
+    return joined.filter(s.isNotNull() & (s >= F.col("__cut"))).drop("__cut")
