@@ -186,21 +186,51 @@ def average_hash(pixels: np.ndarray) -> int:
     return value - (1 << 64) if value >= (1 << 63) else value
 
 
+def difference_hash(pixels: np.ndarray) -> int:
+    """64-bit perceptual dHash: 9x8 grayscale downscale, one bit per cell
+    = (left < right neighbour) — a horizontal-gradient signature. A second
+    INDEPENDENT hash family to aHash (gradient vs global-mean): two
+    near-dup images colliding on both families is far stronger evidence
+    than either alone, and dHash is insensitive to global brightness
+    shifts that flip aHash bits. Same signed-64 convention as
+    ``average_hash`` so it rides the same LongType columns and
+    ``dedup.fingerprint_pairs`` engine."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    rows = (np.arange(8) * h // 8).astype(np.int64)
+    cols = (np.arange(9) * w // 9).astype(np.int64)
+    small = gray[rows][:, cols]
+    bits = (small[:, :-1] < small[:, 1:]).flatten()
+    value = 0
+    for b in bits:
+        value = (value << 1) | int(b)
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+_HASH_METHODS = {"ahash": average_hash, "dhash": difference_hash}
+
+
 def with_image_ahash(
     df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes",
-    fmt_col: str = "fmt",
+    fmt_col: str = "fmt", method: str = "ahash",
 ) -> DataFrame:
     """(<id_col>, ahash, decode_ok) via batched mapInPandas decode.
 
     Feed the result to ``dedup.fingerprint_pairs`` for perceptual near-dup
     pairs — the image-modality analogue of text simhash, sharing its
-    rotation-bucket LSH verification stage. The id column keeps the
-    caller's name and type (a StructType, not a DDL string, so names with
-    backticks or other special characters survive — ADVICE r4). Undecodable
-    or malformed rows (truncated buffers included) get NULL ahash /
-    decode_ok=false, never a task failure — but only for the EXPECTED
-    data-error exceptions; programming errors still surface.
+    rotation-bucket LSH verification stage. ``method`` picks the hash
+    family ("ahash" global-mean bits, "dhash" horizontal-gradient bits);
+    the output column is named ``ahash`` either way so downstream engine
+    calls don't branch. The id column keeps the caller's name and type (a
+    StructType, not a DDL string, so names with backticks or other special
+    characters survive — ADVICE r4). Undecodable or malformed rows
+    (truncated buffers included) get NULL ahash / decode_ok=false, never a
+    task failure — but only for the EXPECTED data-error exceptions;
+    programming errors still surface.
     """
+    if method not in _HASH_METHODS:
+        raise ValueError(f"unknown hash method {method!r}")
+    hash_fn = _HASH_METHODS[method]
     from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
     schema = StructType(
@@ -223,7 +253,7 @@ def with_image_ahash(
             ):
                 try:
                     img = decode_image(bytes(raw), fmt)
-                    hashes[i] = average_hash(img)
+                    hashes[i] = hash_fn(img)
                 except (
                     NotImplementedError,  # stubbed codec
                     ValueError,           # malformed header / reshape
@@ -300,4 +330,41 @@ def extract_image_features(
 
     return df.select(id_col, bytes_col, fmt_col).mapInPandas(
         _features, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode-free metadata quality flags (native Columns)
+# ---------------------------------------------------------------------------
+
+def image_size_flags(
+    w: Column,
+    h: Column,
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    max_pixels: int = 89_478_485,  # PIL's decompression-bomb default
+) -> Column:
+    """LAION-style image curation gates from METADATA ALONE — no decode.
+
+    Returns a struct of booleans: ``too_small`` (either side under
+    min_side), ``extreme_aspect`` (long/short side ratio over max_aspect),
+    ``too_large`` (pixel count over max_pixels — the decompression-bomb
+    gate), and ``ok`` (none of the above, both dims present and positive).
+    At 100 TB the whole gate is a pruned scan of two int columns + codegen
+    comparisons; the binary payload is never read for rows dropped here,
+    which is exactly why size gates go FIRST in an image pipeline. NULL or
+    non-positive dims -> ok=false with all specific flags false (unknown,
+    not proven bad)."""
+    valid = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    long_side = F.greatest(w, h).cast("double")
+    short_side = F.least(w, h).cast("double")
+    too_small = valid & (F.least(w, h) < min_side)
+    extreme = valid & (long_side / short_side > max_aspect)
+    too_large = valid & (w.cast("long") * h > max_pixels)
+    ok = valid & ~too_small & ~extreme & ~too_large
+    return F.struct(
+        F.coalesce(too_small, F.lit(False)).alias("too_small"),
+        F.coalesce(extreme, F.lit(False)).alias("extreme_aspect"),
+        F.coalesce(too_large, F.lit(False)).alias("too_large"),
+        F.coalesce(ok, F.lit(False)).alias("ok"),
     )

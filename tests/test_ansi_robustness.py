@@ -165,3 +165,28 @@ def test_round5_queries_under_ansi(ansi):
         "lsh_verified_pairs",
     ):
         assert qs[name](ansi, sf).count() > 0, name
+
+
+def test_web_curation_under_ansi(ansi):
+    """registrable_domain compiles every branch's expression even where the
+    n<=2 branch wins; 0-based F.get must keep single-label hosts
+    (localhost) and raw IPs error-free under ANSI (negative element_at
+    would raise ARRAY_INDEX_OUT_OF_BOUNDS there)."""
+    from gchq_data_quality_spark.functions.web import (
+        registrable_domain,
+        url_host,
+        url_quality_flags,
+    )
+
+    df = ansi.createDataFrame(
+        [("https://localhost/x",), ("https://10.0.0.1/y",),
+         ("https://www.bbc.co.uk/news",), ("garbage",), (None,)],
+        "url string",
+    )
+    rows = df.select(
+        registrable_domain(url_host(F.col("url"))).alias("d"),
+        url_quality_flags(F.col("url")).alias("f"),
+    ).collect()
+    assert [r.d for r in rows] == [
+        "localhost", "10.0.0.1", "bbc.co.uk", None, None,
+    ]
