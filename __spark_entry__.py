@@ -281,26 +281,167 @@ def _q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gchq_data_quality_spark.functions.text import token_count
+def _q_doc_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged token_counts + doc_quality_flags (r4 VERDICT Next #5 pattern:
+    one scan, one agg — the two were always the same shape), extended with
+    a distinct normalized-fingerprint count that attests
+    text.normalized_fingerprint: the count of distinct canonical forms must
+    equal DuckDB's COUNT(DISTINCT <normalize chain>) since xxhash64 is
+    injective at this cardinality."""
+    from gchq_data_quality_spark.functions.text import (
+        alpha_ratio,
+        digit_ratio,
+        normalized_fingerprint,
+        token_count,
+    )
 
     docs = _read(spark, sf_dir, "documents")
+    fp = F.when(
+        F.col("text").isNotNull(), normalized_fingerprint(F.col("text"))
+    )
     return docs.agg(
         F.sum(token_count(F.col("text"))).alias("total_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
         F.count(F.lit(1)).alias("n_docs"),
-    )
-
-
-def _q_doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gchq_data_quality_spark.functions.text import alpha_ratio, digit_ratio
-
-    docs = _read(spark, sf_dir, "documents")
-    return docs.agg(
         F.sum((alpha_ratio(F.col("text")) >= 0.5).cast("long")).alias("n_alpha_ok"),
         F.sum((digit_ratio(F.col("text")) > 0.2).cast("long")).alias("n_digit_heavy"),
         F.sum((F.length("text") >= 100).cast("long")).alias("n_long"),
+        F.count_distinct(fp).alias("n_norm_distinct"),
     )
+
+
+_URL_SOUP = "?" + "&".join(f"k{i}=v" for i in range(16))
+
+
+def _url_from_doc_id(d) -> "F.Column":
+    """Deterministic synthetic URL from doc_id — pure integer/modulo string
+    arithmetic so the DuckDB oracle rebuilds the identical column. Shapes:
+    7 .com domains with www subdomains, 3 compound-suffix .co.uk domains,
+    4 raw-IP hosts, one bare domain, and a no-scheme garbage bucket; every
+    11th URL gets a 13-deep path, every 13th a 16-param tracking-soup
+    query string."""
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("www.site"), (d % 7).cast("string"), F.lit(".com")))
+        .when(d % 5 == 1, F.concat(F.lit("sub.news"), (d % 3).cast("string"), F.lit(".co.uk")))
+        .when(d % 5 == 2, F.concat(F.lit("10.0."), (d % 4).cast("string"), F.lit(".1")))
+        .otherwise(F.lit("blog.example.org"))
+    )
+    return F.when(d % 5 == 4, F.lit("not-a-url")).otherwise(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), d.cast("string"),
+            F.when(d % 11 == 0, F.lit("/a/b/c/d/e/f/g/h/i/j/k")).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit(_URL_SOUP)).otherwise(F.lit("")),
+        )
+    )
+
+
+def _q_url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain URL curation report over synthesized URLs:
+    web.url_host -> web.registrable_domain (eTLD+1 incl. compound suffixes
+    and raw-IP passthrough) grouped with web.url_quality_flags counts.
+    This is the domain key a 100 TB pipeline caps/blocklists on; the oracle
+    replays the regexp host parse + label arithmetic verbatim in DuckDB."""
+    from gchq_data_quality_spark.functions.web import (
+        registrable_domain,
+        url_host,
+        url_quality_flags,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    with_url = docs.select(_url_from_doc_id(d).alias("url"))
+    return (
+        with_url.select(
+            F.coalesce(
+                registrable_domain(url_host(F.col("url"))), F.lit("(none)")
+            ).alias("domain"),
+            url_quality_flags(F.col("url")).alias("f"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.col("f.ok").cast("long")).alias("n_ok"),
+            F.sum(F.col("f.ip_host").cast("long")).alias("n_ip"),
+            F.sum(F.col("f.deep_path").cast("long")).alias("n_deep"),
+            F.sum(F.col("f.query_soup").cast("long")).alias("n_soup"),
+            F.sum(F.col("f.no_host").cast("long")).alias("n_no_host"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _url_domain_oracle_sql() -> str:
+    """DuckDB replay of _q_url_domain_curation: same modulo URL synthesis,
+    same regexp host parse, same 1-based-index label arithmetic for the
+    eTLD+1 heuristic (Spark uses 0-based F.get), same flag coalesces. The
+    compound-suffix set is injected from functions/web.py so the two
+    engines can never drift."""
+    from gchq_data_quality_spark.functions.web import _DEFAULT_COMPOUND_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in _DEFAULT_COMPOUND_SUFFIXES)
+    sql = r"""
+        WITH urls AS (
+            SELECT CASE WHEN doc_id % 5 = 4 THEN 'not-a-url'
+                   ELSE 'https://' ||
+                        CASE WHEN doc_id % 5 = 0
+                                THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                             WHEN doc_id % 5 = 1
+                                THEN 'sub.news' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
+                             WHEN doc_id % 5 = 2
+                                THEN '10.0.' || CAST(doc_id % 4 AS VARCHAR) || '.1'
+                             ELSE 'blog.example.org' END ||
+                        '/p/' || CAST(doc_id AS VARCHAR) ||
+                        CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/h/i/j/k' ELSE '' END ||
+                        CASE WHEN doc_id % 13 = 0 THEN '@SOUP@' ELSE '' END
+                   END AS url
+            FROM documents
+        ), hosted AS (
+            SELECT url,
+                   NULLIF(regexp_extract(LOWER(TRIM(url)),
+                       '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '') AS host
+            FROM urls
+        ), parted AS (
+            SELECT url, host,
+                   string_split(host, '.') AS parts,
+                   len(string_split(host, '.')) AS n,
+                   COALESCE(regexp_matches(host,
+                       '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$'), FALSE) AS is_ip
+            FROM hosted
+        ), domained AS (
+            SELECT url, host, is_ip,
+                   CASE WHEN host IS NULL THEN NULL
+                        WHEN is_ip THEN host
+                        WHEN n <= 2 THEN host
+                        WHEN (parts[n-1] || '.' || parts[n]) IN (@SUFFIXES@) AND n >= 3
+                             THEN parts[n-2] || '.' || parts[n-1] || '.' || parts[n]
+                        ELSE parts[n-1] || '.' || parts[n] END AS domain
+            FROM parted
+        ), flagged AS (
+            SELECT domain,
+                   (url IS NULL OR host IS NULL) AS no_host_f,
+                   COALESCE(is_ip, FALSE) AS ip_f,
+                   COALESCE(LENGTH(TRIM(url)) > 2048, FALSE) AS long_f,
+                   COALESCE(len(list_filter(string_split(
+                       regexp_extract(LOWER(TRIM(url)),
+                         '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)(/[^?#]*)', 2),
+                       '/'), x -> x <> '')) > 10, FALSE) AS deep_f,
+                   COALESCE(len(list_filter(string_split(
+                       regexp_extract(TRIM(url), '\?([^#]*)', 1),
+                       '&'), x -> x <> '')) > 15, FALSE) AS soup_f
+            FROM domained
+        )
+        SELECT COALESCE(domain, '(none)') AS domain,
+               COUNT(*) AS n_urls,
+               CAST(SUM(CASE WHEN NOT no_host_f AND NOT ip_f AND NOT long_f
+                             AND NOT deep_f AND NOT soup_f
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+               CAST(SUM(CASE WHEN ip_f THEN 1 ELSE 0 END) AS BIGINT) AS n_ip,
+               CAST(SUM(CASE WHEN deep_f THEN 1 ELSE 0 END) AS BIGINT) AS n_deep,
+               CAST(SUM(CASE WHEN soup_f THEN 1 ELSE 0 END) AS BIGINT) AS n_soup,
+               CAST(SUM(CASE WHEN no_host_f THEN 1 ELSE 0 END) AS BIGINT) AS n_no_host
+        FROM flagged GROUP BY 1 ORDER BY 1
+    """
+    return sql.replace("@SOUP@", _URL_SOUP).replace("@SUFFIXES@", suffixes)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1527,8 +1668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_timeliness_pair": _q_rule_timeliness_pair,
         "rules_single_pass": _q_rules_single_pass,
         "text_stats_by_lang": _q_text_stats_by_lang,
-        "token_counts": _q_token_counts,
-        "doc_quality_flags": _q_doc_quality_flags,
+        "doc_token_quality": _q_doc_token_quality,
+        "url_domain_curation": _q_url_domain_curation,
         "dedup_exact": _q_dedup_exact,
         "embedding_topk": _q_embedding_topk,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
@@ -1676,23 +1817,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 4) AS avg_chars, MAX(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
-        "token_counts": r"""
+        "doc_token_quality": r"""
             SELECT CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
                             ELSE LEN(string_split_regex(TRIM(text), '\s+')) END) AS BIGINT) AS total_tokens,
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
-                   COUNT(*) AS n_docs
-            FROM documents
-        """,
-        "doc_quality_flags": r"""
-            SELECT CAST(SUM(CASE WHEN LENGTH(text) > 0 AND
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN LENGTH(text) > 0 AND
                         CAST(LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)/LENGTH(text) >= 0.5
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
                    CAST(SUM(CASE WHEN LENGTH(text) > 0 AND
                         CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)/LENGTH(text) > 0.2
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_digit_heavy,
-                   CAST(SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+                   CAST(SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+                   COUNT(DISTINCT CASE WHEN text IS NOT NULL THEN
+                        LOWER(TRIM(regexp_replace(regexp_replace(text,
+                            '[\x00-\x08\x0b-\x1f\x7f-\x9f]', ' ', 'g'), '\s+', ' ', 'g')))
+                        END) AS n_norm_distinct
             FROM documents
         """,
+        "url_domain_curation": _url_domain_oracle_sql(),
         "dedup_exact": r"""
             SELECT COUNT(*) AS n_distinct_texts,
                    CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS n_dup_rows,

@@ -414,7 +414,7 @@ def bench_queries(
         "segment_revenue",
         "text_stats_by_lang",
         "dedup_exact",
-        "doc_quality_flags",
+        "doc_token_quality",
         "embedding_topk",
         "minhash_candidates",
         "simhash_pairs",
