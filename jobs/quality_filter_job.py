@@ -52,6 +52,19 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--allowed-langs", default="")
     p.add_argument("--keep-only", action="store_true",
                    help="write only keep=true rows (default writes all + flags)")
+    p.add_argument("--size-gate", action="store_true",
+                   help="decode-free metadata pre-filter: drop rows whose "
+                        "(w, h) prove the image bad (min-side / aspect / "
+                        "decompression-bomb gates) BEFORE any payload read "
+                        "or scoring — at corpus scale this is a pruned "
+                        "2-int-column scan and the dropped rows' bytes are "
+                        "never touched. Rows with NULL/invalid dims are "
+                        "KEPT (unknown, not proven bad — decode + rules "
+                        "judge them). Gate params are pinned in the "
+                        "manifest; resuming with different params raises")
+    p.add_argument("--min-side", type=int, default=64)
+    p.add_argument("--max-aspect", type=float, default=3.0)
+    p.add_argument("--max-pixels", type=int, default=89_478_485)
     p.add_argument("--history-fps", default=None,
                    help="parquet of prior-run caption fingerprints (column "
                         "'fp'): rows whose caption fingerprint appears there "
@@ -149,6 +162,45 @@ def main(argv: list[str] | None = None) -> None:
         repartition_to=args.repartition_to or None,
     )
     pipe = QualityFilterPipeline(config, langid_model, ppl_model)
+
+    if args.size_gate:
+        # decode-free metadata gate, FIRST (cheapest filter wins): proven-bad
+        # dims drop the row before the history probe, bucketing, decode, or
+        # any scoring touches it. Applied before bucketing, so the gate
+        # params are resume lineage exactly like --history-fps: pin them in
+        # the manifest and refuse to resume under different values.
+        from pyspark.sql import functions as F
+
+        from gchq_data_quality_spark.functions.images import image_size_flags
+        from gchq_data_quality_spark.sources.checkpoint import (
+            CheckpointManifest as _CM,
+        )
+
+        gate_params = {
+            "min_side": args.min_side,
+            "max_aspect": args.max_aspect,
+            "max_pixels": args.max_pixels,
+        }
+        _m = _CM(args.manifest)
+        _prev = _m.load().get("meta", {}).get("size_gate")
+        if _prev is not None and _prev != gate_params:
+            raise ValueError(
+                f"Manifest was written with --size-gate params {_prev!r}; "
+                f"resuming with {gate_params!r} would mix input lineages — "
+                "use a fresh manifest"
+            )
+        _m.merge_meta("size_gate", gate_params)
+        flags = image_size_flags(
+            F.col("w"), F.col("h"),
+            min_side=args.min_side,
+            max_aspect=args.max_aspect,
+            max_pixels=args.max_pixels,
+        )
+        # drop only PROVEN-bad rows; NULL/invalid dims keep flowing (the
+        # struct's specific flags are False there by design)
+        df = df.filter(
+            ~(flags["too_small"] | flags["extreme_aspect"] | flags["too_large"])
+        )
 
     if args.history_fps:
         # pin the history source in the manifest alongside n_buckets and

@@ -469,3 +469,28 @@ def test_neardup_preprocessing_job_chains_into_quality_filter(spark, tmp_path, c
     )
     qf_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert qf_summary["rows_written"] == summary["rows_out"]
+
+
+def test_job_size_gate_drops_proven_bad_dims_only(spark, tmp_path, capsys):
+    """--size-gate filters on (w, h) metadata alone, BEFORE decode/scoring:
+    with --min-side 24 the 16px synthetic clusters vanish from the output
+    while 24/32px rows flow through; the expected survivor count is exactly
+    the metadata predicate applied to the same generator output."""
+    from pyspark.sql import functions as F
+
+    from gchq_data_quality_spark.sources.synthetic import generate_images_df
+
+    out, _, _ = _run(tmp_path, ["--size-gate", "--min-side", "24"])
+    written = spark.read.parquet(str(out))
+    expected = generate_images_df(spark, 400).filter(
+        F.least("w", "h") >= 24
+    ).count()
+    assert 0 < expected < 400  # the generator plants 16px clusters
+    assert written.count() == expected
+    assert written.filter(F.least("w", "h") < 24).count() == 0
+
+
+def test_job_size_gate_param_change_on_resume_raises(spark, tmp_path, capsys):
+    _run(tmp_path, ["--size-gate", "--min-side", "24"])
+    with pytest.raises(ValueError, match="size-gate"):
+        _run(tmp_path, ["--size-gate", "--min-side", "32"])
