@@ -163,6 +163,11 @@ def test_round5_queries_under_ansi(ansi):
         "embedding_pairs_oracle",
         "minhash_candidates",
         "lsh_verified_pairs",
+        # late-r5: merged doc aggregate (xxhash64 fingerprint distinct) and
+        # the synthetic-URL domain report (long modulo arithmetic, F.get
+        # 0-based indexing — negative element_at would raise here)
+        "doc_token_quality",
+        "url_domain_curation",
     ):
         assert qs[name](ansi, sf).count() > 0, name
 
