@@ -659,30 +659,70 @@ def _q_pipeline_keep_by_defect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test decontamination: documents (doc_id % 17 != 0) sharing any
-    word 8-gram with the probe slice (doc_id % 17 == 0), with the distinct
-    shared-gram count — the GPT-3-style n-gram overlap rule as a broadcast
-    join. Oracle computes the same overlap on gram STRINGS in SQL."""
-    from gchq_data_quality_spark.functions.decontamination import contamination_hits
+def _q_ngram_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontamination_hits + top_bigrams merged (late r5, freeing a window
+    slot for line_dedup_stats — same pattern as the rule-pair merges): the
+    GPT-3-style train/test 8-gram overlap counts (documents doc_id % 17 != 0
+    vs the probe slice % 17 == 0) and the top-20 bigram boilerplate sweep,
+    UNION ALL'd into one (kind, key, n) frame. Oracle replays both CTE
+    pipelines on gram STRINGS in SQL."""
+    from gchq_data_quality_spark.functions.decontamination import (
+        contamination_hits,
+        top_ngrams,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     probes = docs.filter(F.col("doc_id") % 17 == 0)
     scored = docs.filter(F.col("doc_id") % 17 != 0)
-    return (
-        contamination_hits(scored, probes, text_col="text", id_col="doc_id", n=8)
-        .orderBy("doc_id")
+    contam = contamination_hits(
+        scored, probes, text_col="text", id_col="doc_id", n=8
+    ).select(
+        F.lit("contamination").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_hits").cast("long").alias("n"),
     )
+    bigrams = top_ngrams(docs, text_col="text", n=2, top=20).select(
+        F.lit("top_bigram").alias("kind"),
+        F.col("gram").alias("key"),
+        F.col("doc_freq").cast("long").alias("n"),
+    )
+    return contam.unionByName(bigrams).orderBy("kind", F.desc("n"), "key")
 
 
-def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus boilerplate mining: top-20 word bigrams by document frequency
-    (one explode of per-doc distinct grams -> partial+final hash agg ->
-    TakeOrdered). Oracle computes the same sweep in SQL."""
-    from gchq_data_quality_spark.functions.decontamination import top_ngrams
+def _q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line deduplication (dedup.dedup_lines — the RefinedWeb /
+    CCNet boilerplate move) attested end-to-end: every document gets a
+    corpus-wide boilerplate line, every third an extra one, and one unique
+    marker line; dedup_lines(max_dup=2) must drop the hot lines everywhere
+    (including original captions of the hot duplicate clusters) while the
+    unique lines survive. The oracle replays the normalize -> count -> drop
+    -> ordered-rebuild pipeline on line STRINGS in DuckDB."""
+    from gchq_data_quality_spark.functions.dedup import dedup_lines
 
-    docs = _read(spark, sf_dir, "documents")
-    return top_ngrams(docs, text_col="text", n=2, top=20)
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = F.col("doc_id").cast("long")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter for updates"),
+            F.when(d % 3 == 0, F.lit("\nfollow us on social media channels"))
+            .otherwise(F.lit("")),
+            F.lit("\ndoc marker "),
+            d.cast("string"),
+            F.lit(" unique payload"),
+        ).alias("text"),
+    )
+    out = dedup_lines(
+        built, id_col="doc_id", text_col="text", max_dup=2, min_line_chars=8
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_lines_dropped").cast("long")).alias("total_lines_dropped"),
+        F.sum((F.col("n_lines_dropped") > 0).cast("long")).alias("n_docs_affected"),
+        F.sum(F.length("text")).alias("total_chars_after"),
+        F.sum((F.col("text") == "").cast("long")).alias("n_empty_after"),
+    )
 
 
 def _q_pipeline_disagreements(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,8 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_sample": _q_source_mix_sample,
         "signup_purchase_funnel": _q_signup_purchase_funnel,
         "vocab_coverage": _q_vocab_coverage,
-        "decontamination_hits": _q_decontamination_hits,
-        "top_bigrams": _q_top_bigrams,
+        "ngram_overlap_report": _q_ngram_overlap_report,
+        "line_dedup_stats": _q_line_dedup_stats,
         "numeric_profile": _q_numeric_profile,
         "pipeline_disagreements": _q_pipeline_disagreements,
         "gopher_repetition": _q_gopher_repetition,
@@ -1967,46 +2007,84 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
             ORDER BY id_a, id_b
         """,
-        "top_bigrams": r"""
+        "ngram_overlap_report": r"""
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
                                    t -> t <> '') AS ts
                 FROM documents WHERE text IS NOT NULL
-            ), idx AS (
-                SELECT doc_id, ts,
-                       UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS i
-                FROM toks
-            ), grams AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(ts[CAST(i AS BIGINT):CAST(i AS BIGINT)+1], ' ') AS g
-                FROM idx
-            )
-            SELECT g AS gram, COUNT(*) AS doc_freq
-            FROM grams GROUP BY g
-            ORDER BY doc_freq DESC, gram LIMIT 20
-        """,
-        "decontamination_hits": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
-                                   t -> t <> '') AS ts
-                FROM documents WHERE text IS NOT NULL
-            ), idx AS (
+            ), idx8 AS (
                 SELECT doc_id, ts,
                        UNNEST(generate_series(1, greatest(len(ts) - 7, 0))) AS i
                 FROM toks
-            ), grams AS (
+            ), grams8 AS (
                 SELECT doc_id, array_to_string(ts[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS g
-                FROM idx
+                FROM idx8
             ), probe AS (
-                SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+                SELECT DISTINCT g FROM grams8 WHERE doc_id % 17 = 0
             ), doc_grams AS (
-                SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 17 <> 0
+                SELECT DISTINCT doc_id, g FROM grams8 WHERE doc_id % 17 <> 0
+            ), contam AS (
+                SELECT 'contamination' AS kind, CAST(doc_id AS VARCHAR) AS key,
+                       COUNT(*) AS n
+                FROM doc_grams JOIN probe USING (g)
+                GROUP BY doc_id
+            ), idx2 AS (
+                SELECT doc_id, ts,
+                       UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+                FROM toks
+            ), grams2 AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ts[CAST(i AS BIGINT):CAST(i AS BIGINT)+1], ' ') AS g
+                FROM idx2
+            ), bigrams AS (
+                SELECT 'top_bigram' AS kind, g AS key, COUNT(*) AS n
+                FROM grams2 GROUP BY g
+                ORDER BY n DESC, g LIMIT 20
             )
-            SELECT doc_id, COUNT(*) AS n_hits
-            FROM doc_grams JOIN probe USING (g)
-            GROUP BY doc_id ORDER BY doc_id
+            SELECT kind, key, n FROM contam
+            UNION ALL
+            SELECT kind, key, n FROM bigrams
+            ORDER BY kind, n DESC, key
+        """,
+        "line_dedup_stats": r"""
+            WITH built AS (
+                SELECT doc_id,
+                       text || chr(10) || 'subscribe to our newsletter for updates' ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) || 'follow us on social media channels'
+                            ELSE '' END ||
+                       chr(10) || 'doc marker ' || CAST(doc_id AS VARCHAR) || ' unique payload'
+                       AS t
+                FROM documents WHERE text IS NOT NULL
+            ), lined AS (
+                SELECT doc_id, ls, UNNEST(generate_series(1, len(ls))) AS pos
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM built)
+            ), normd AS (
+                SELECT doc_id, pos, ls[CAST(pos AS BIGINT)] AS line,
+                       LOWER(TRIM(regexp_replace(regexp_replace(ls[CAST(pos AS BIGINT)],
+                           '[\x00-\x08\x0b-\x1f\x7f-\x9f]', ' ', 'g'), '\s+', ' ', 'g'))) AS k,
+                       LENGTH(TRIM(ls[CAST(pos AS BIGINT)])) >= 8 AS elig
+                FROM lined
+            ), hot AS (
+                SELECT k FROM normd WHERE elig GROUP BY k HAVING COUNT(*) > 2
+            ), marked AS (
+                SELECT doc_id, pos, line,
+                       (elig AND k IN (SELECT k FROM hot)) AS dropped
+                FROM normd
+            ), rebuilt AS (
+                SELECT doc_id,
+                       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                                FILTER (WHERE NOT dropped), '') AS text,
+                       SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped
+                FROM marked GROUP BY doc_id
+            )
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_dropped) AS BIGINT) AS total_lines_dropped,
+                   CAST(SUM(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars_after,
+                   CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_after
+            FROM rebuilt
         """,
         "lsh_verified_pairs": r"""
             WITH d AS (

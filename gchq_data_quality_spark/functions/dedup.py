@@ -1133,3 +1133,84 @@ def embedding_dedup_pairs(
         max_bucket=max_bucket,
         keep=lambda p: p["cosine"] >= threshold,
     ).select("p.id_a", "p.id_b", "p.cosine").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line deduplication (RefinedWeb / CCNet boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup: int = 2,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """Drop every occurrence of a line whose whitespace/case-normalized
+    form appears more than ``max_dup`` times across the WHOLE corpus — the
+    RefinedWeb / CCNet boilerplate move: cookie banners, nav menus, and
+    "subscribe" footers repeat across pages while real content doesn't.
+    Lines shorter than ``min_line_chars`` after trimming are exempt
+    (headings and list markers legitimately repeat). ``id_col`` must be
+    unique per row.
+
+    100 TB shape — the text payload never rides the counting shuffle:
+    (1) a narrow explode projects eligible lines to 8-byte xxhash64 keys;
+    the count groupBy shuffles hashes only, and the ``> max_dup`` filter
+    leaves the small hot-key set. (2) a second narrow explode of
+    (id, pos, key) left-semi joins the hot keys (AQE broadcasts the small
+    side) and collects ONLY the dropped positions per affected doc — a
+    frame proportional to the boilerplate, not the corpus. (3) the
+    original frame left-joins that frame and rebuilds the text with a
+    zip_with/filter/array_join expression; untouched docs join NULL and
+    pass through byte-identical. xxhash64 keying means two distinct lines
+    colliding in 64 bits would co-drop — expected collisions ~n²/2⁶⁵, the
+    standard trade (same as exact_dedup's fingerprint).
+
+    Returns the frame with ``text_col`` rebuilt and ``n_lines_dropped``
+    appended. NULL texts pass through as NULL with 0 dropped.
+    """
+    from gchq_data_quality_spark.functions.text import normalize_whitespace
+
+    lines = F.split(F.col(text_col), "\n")
+
+    def _eligible(line: Column) -> Column:
+        return F.length(F.trim(line)) >= min_line_chars
+
+    def _key(line: Column) -> Column:
+        return F.xxhash64(normalize_whitespace(line, lowercase=True))
+
+    hot = (
+        df.select(F.explode(lines).alias("__line"))
+        .filter(_eligible(F.col("__line")))
+        .select(_key(F.col("__line")).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_dup)
+        .select("__k")
+    )
+    dropped = (
+        df.select(F.col(id_col), F.posexplode(lines).alias("__pos", "__line"))
+        .filter(_eligible(F.col("__line")))
+        .select(id_col, "__pos", _key(F.col("__line")).alias("__k"))
+        .join(hot, "__k", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__dropped_pos"))
+    )
+    joined = df.join(dropped, id_col, "left")
+    drop_set = F.coalesce(F.col("__dropped_pos"), F.array().cast("array<int>"))
+    # greatest(..., 0): under spark.sql.legacy.sizeOfNull, size(NULL) = -1
+    # and sequence(0, -2) would raise; the NULL-text branch never reads the
+    # result (the when() below), but keep the bound legal in every mode
+    idx = F.sequence(F.lit(0), F.greatest(F.size(lines) - 1, F.lit(0)))
+    kept = F.filter(
+        F.zip_with(lines, idx, lambda l, i: F.struct(l.alias("l"), i.alias("i"))),
+        lambda s: ~F.array_contains(drop_set, s["i"]),
+    )
+    new_text = F.when(
+        F.col(text_col).isNotNull(),
+        F.array_join(F.transform(kept, lambda s: s["l"]), "\n"),
+    )
+    return joined.withColumn(text_col, new_text).withColumn(
+        "n_lines_dropped", F.size(drop_set)
+    ).drop("__dropped_pos")

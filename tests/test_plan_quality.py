@@ -178,12 +178,15 @@ def test_multimodal_feature_plans_are_shuffle_free(spark):
 
 
 def test_top_ngrams_is_take_ordered_not_full_sort(spark):
-    """The boilerplate-mining sweep must plan top-k as TakeOrdered (bounded
+    """The boilerplate-mining sweep (bigram side of the merged
+    ngram_overlap_report) must plan top-k as TakeOrdered (bounded
     per-partition heaps) after a partial+final hash aggregation — a global
-    Sort over every distinct gram would shuffle the whole gram universe."""
+    Sort over every distinct gram would shuffle the whole gram universe.
+    (The outer orderBy sorts the ~22-row union result, which is fine; the
+    gram universe itself must never hit a full sort.)"""
     import __spark_entry__ as entry_mod
 
-    df = entry_mod.queries()["top_bigrams"](spark, SF)
+    df = entry_mod.queries()["ngram_overlap_report"](spark, SF)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("HashAggregate") >= 2  # partial + final
@@ -208,7 +211,7 @@ def test_lsh_verified_pairs_no_cartesian_and_broadcast_free_big_side(spark):
 def test_decontamination_query_broadcasts_probe_grams(spark):
     import __spark_entry__ as entry_mod
 
-    df = entry_mod.queries()["decontamination_hits"](spark, SF)
+    df = entry_mod.queries()["ngram_overlap_report"](spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
