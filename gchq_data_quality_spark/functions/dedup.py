@@ -1145,6 +1145,7 @@ def dedup_lines(
     text_col: str = "text",
     max_dup: int = 2,
     min_line_chars: int = 8,
+    sep: str = "\n",
 ) -> DataFrame:
     """Drop every occurrence of a line whose whitespace/case-normalized
     form appears more than ``max_dup`` times across the WHOLE corpus — the
@@ -1169,10 +1170,16 @@ def dedup_lines(
 
     Returns the frame with ``text_col`` rebuilt and ``n_lines_dropped``
     appended. NULL texts pass through as NULL with 0 dropped.
+
+    ``sep`` is the unit boundary, treated as a LITERAL string (escaped for
+    the split regex): the default "\\n" dedups lines; "\\n\\n" dedups
+    paragraphs — the same corpus-count machinery at a coarser granularity.
     """
+    import re as _re
+
     from gchq_data_quality_spark.functions.text import normalize_whitespace
 
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(F.col(text_col), _re.escape(sep))
 
     def _eligible(line: Column) -> Column:
         return F.length(F.trim(line)) >= min_line_chars
@@ -1209,7 +1216,7 @@ def dedup_lines(
     )
     new_text = F.when(
         F.col(text_col).isNotNull(),
-        F.array_join(F.transform(kept, lambda s: s["l"]), "\n"),
+        F.array_join(F.transform(kept, lambda s: s["l"]), sep),
     )
     return joined.withColumn(text_col, new_text).withColumn(
         "n_lines_dropped", F.size(drop_set)

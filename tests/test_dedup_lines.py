@@ -151,3 +151,22 @@ def test_dedup_lines_randomized_differential(spark):
             ).collect()
         }
         assert got == expected, (max_dup, min_chars)
+
+
+def test_dedup_lines_paragraph_mode(spark):
+    boiler = "standard footer paragraph with legal text"
+    rows = [
+        (i, f"real paragraph {i} with content\nsecond line\n\n{boiler}")
+        for i in range(4)
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup_lines(
+            _mk(spark, rows), max_dup=2, min_line_chars=8, sep="\n\n"
+        ).collect()
+    }
+    for i in range(4):
+        # the footer PARAGRAPH drops; the multi-line content paragraph
+        # (unique per doc) survives with its internal newline intact
+        assert out[i].text == f"real paragraph {i} with content\nsecond line"
+        assert out[i].n_lines_dropped == 1
