@@ -424,6 +424,7 @@ def bench_queries(
         "dedup_cluster_sizes",
         "value_percentiles_by_type",
         "document_chunks",
+        "line_dedup_stats",
     ]
     queries = entry_mod.queries()
     warmup_dir = "/root/testdata/sf0.001"
