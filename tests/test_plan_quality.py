@@ -363,3 +363,33 @@ def test_exact_dedup_incremental_shuffles_are_payload_free(spark, tmp_path):
     # sibling, not part of any __fp shuffle
     fp_subtree = plan.split("hashpartitioning(__fp", 1)[1].split("Filter isnull(", 1)[0]
     assert "bytes" not in fp_subtree, fp_subtree
+
+
+def test_dedup_lines_counting_shuffle_is_payload_free(spark):
+    """dedup_lines' 100-TB contract: the corpus-count shuffle carries
+    8-byte line hashes (plus partial counts) and the dropped-positions
+    frame, never the text payload — every shuffle Exchange's input must
+    exclude the text column (the small derived frames broadcast back onto
+    the payload lineage instead)."""
+    from gchq_data_quality_spark.functions.dedup import dedup_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup_lines(
+        docs, id_col="doc_id", text_col="text", max_dup=2, min_line_chars=8
+    )
+    fmt = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    blocks = fmt.split("\n\n")
+    shuffles = [
+        b
+        for b in blocks
+        if b.lstrip().startswith("(")
+        and b.lstrip().splitlines()[0].split(") ", 1)[-1].startswith("Exchange")
+    ]
+    assert shuffles, fmt
+    for block in shuffles:
+        assert "text#" not in block, block
+    assert "CartesianProduct" not in fmt
