@@ -240,3 +240,91 @@ def filter_top_fraction(
     else:
         joined = df.crossJoin(F.broadcast(df.agg(cutoff)))
     return joined.filter(s.isNotNull() & (s >= F.col("__cut"))).drop("__cut")
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    key_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Per-key keep rates (permille) for temperature-based mixture
+    sampling — the mT5/XLM-R rebalancing move: sampling mass proportional
+    to ``count**alpha`` flattens the source/language distribution
+    (alpha=1 keeps proportions, alpha=0 aims for uniform), rescaled so the
+    EXPECTED kept total is ``target_rows`` (default: the corpus size).
+
+    Rates are waterfilled on the driver over the per-key count frame —
+    one row per key, so ``key_col`` must be low-cardinality (sources,
+    languages, quality tiers), which is what mixture sampling means; the
+    collect is bounded by that cardinality. Keys whose fair share exceeds
+    their row count cap at 1000 permille and the excess mass redistributes
+    to the rest, so the expected total hits the target even under heavy
+    flattening. Rows with NULL keys are not part of any source and get no
+    rate.
+
+    Returns (key_col, n_rows, rate_permille); compose with
+    ``weighted_sample_flag`` (or use ``temperature_mix``) — permille
+    granularity keeps the cut deterministic and engine-reproducible.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    from pyspark.sql import types as T
+
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if target_rows is None:
+        target_rows = total
+    if target_rows > total:
+        raise ValueError(f"target_rows {target_rows} exceeds corpus size {total}")
+    rates: dict = {}
+    pool = dict(counts)
+    remaining = float(target_rows)
+    while pool:
+        wsum = sum(n**alpha for n in pool.values())
+        newly_capped = [
+            k for k, n in pool.items() if remaining * (n**alpha) / wsum >= n
+        ]
+        if not newly_capped:
+            for k, n in pool.items():
+                want = remaining * (n**alpha) / wsum
+                rates[k] = min(1000, max(0, int(round(1000.0 * want / n))))
+            break
+        for k in newly_capped:
+            rates[k] = 1000
+            remaining -= pool.pop(k)
+    schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("rate_permille", T.IntegerType()),
+        ]
+    )
+    rows = [(k, int(counts[k]), int(rates[k])) for k in counts]
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Apply temperature-based mixture sampling: join the (tiny) rates
+    frame back broadcast and cut each key at its rate with the
+    deterministic id-uniform hash. Same row in, same row out, on any
+    engine/partitioning/rerun. NULL-key rows are dropped (they belong to
+    no source)."""
+    rates = temperature_mix_rates(df, key_col, alpha, target_rows)
+    return (
+        df.join(F.broadcast(rates.select(key_col, "rate_permille")), key_col)
+        .filter(weighted_sample_flag(F.col(id_col), F.col("rate_permille")))
+        .drop("rate_permille")
+    )
