@@ -153,3 +153,51 @@ def filter_blocked_domains(
     if not blocked:
         return df
     return df.filter(dom.isNull() | ~dom.isin(list(blocked)))
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (native regexp passes, no UDF)
+# ---------------------------------------------------------------------------
+
+def strip_html(html: Column) -> Column:
+    """Plain-text extraction from raw HTML — the first step of web-corpus
+    curation, entirely in whole-stage codegen (a chain of regexp/literal
+    replaces; no UDF, no external parser). Not a DOM parser: it is the
+    pragmatic trafilatura-lite pass a 100 TB pipeline wants BEFORE quality
+    scoring — drop script/style/comment payloads, turn block-level closers
+    into newlines (so dedup_lines and the Gopher line metrics see real
+    lines), strip remaining tags, decode the six ubiquitous entities, and
+    squeeze whitespace while preserving paragraph breaks (max one blank
+    line). NULL passes through."""
+    out = F.regexp_replace(html, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    # block-level boundaries become newlines so document structure survives
+    out = F.regexp_replace(
+        out,
+        r"(?i)<br\s*/?>|</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote|title|head)\s*>",
+        "\n",
+    )
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for entity, plain in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        out = F.replace(out, F.lit(entity), F.lit(plain))
+    out = F.regexp_replace(out, r"[ \t\x0b\f\r]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")
+    return F.regexp_replace(F.trim(out), r"^\n+|\n+$", "")
+
+
+def extract_links(html: Column) -> Column:
+    """Array of href targets from anchor tags (single- or double-quoted),
+    for outlink-based curation: feed through url_host/registrable_domain
+    for per-page outlink-domain features, or into a blocklist sweep. Pure
+    regexp_extract_all — one pass, no UDF. NULL -> NULL; no anchors ->
+    empty array."""
+    pat = r"(?i)<a\s[^>]*href\s*=\s*[\"']([^\"']+)[\"']"
+    return F.regexp_extract_all(html, F.lit(pat), F.lit(1))

@@ -226,3 +226,52 @@ def test_normalize_unicode_nfkc(spark):
     assert got == ["Hello", "caf\u00e9", None]
     with pytest.raises(ValueError):
         normalize_unicode(F.col("t"), form="NFX")
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction
+# ---------------------------------------------------------------------------
+
+def test_strip_html_extracts_structured_text(spark):
+    from gchq_data_quality_spark.functions.web import strip_html
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- comment --><h1>Heading One</h1>"
+        "<p>First&nbsp;paragraph &amp; more.</p>"
+        "<div>Second   block with &lt;tags&gt; quoted.</div>"
+        "<ul><li>item one</li><li>item two</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(html,), (None,), ("plain text only",)], "h string")
+    got = [r.t for r in df.select(strip_html(F.col("h")).alias("t")).collect()]
+    assert got[0] == (
+        "T\n\nHeading One\nFirst paragraph & more.\n"
+        "Second block with <tags> quoted.\nitem one\nitem two"
+    ), got[0]
+    assert got[1] is None
+    assert got[2] == "plain text only"
+
+
+def test_strip_html_squeezes_blank_runs_not_paragraphs(spark):
+    from gchq_data_quality_spark.functions.web import strip_html
+
+    html = "<p>one</p>\n\n\n\n<p>two</p>"
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(strip_html(F.col("h")).alias("t")).collect()[0].t
+    assert got == "one\n\ntwo"  # max one blank line survives
+
+
+def test_extract_links(spark):
+    from gchq_data_quality_spark.functions.web import extract_links
+
+    html = (
+        '<a href="https://a.com/x">A</a> text '
+        "<A HREF='https://b.org/y?z=1'>B</A>"
+        "<a class=\"c\" href=\"/relative\">C</a><a>no href</a>"
+    )
+    df = spark.createDataFrame([(html,), (None,), ("no anchors",)], "h string")
+    got = [r.l for r in df.select(extract_links(F.col("h")).alias("l")).collect()]
+    assert got[0] == ["https://a.com/x", "https://b.org/y?z=1", "/relative"]
+    assert got[1] is None
+    assert got[2] == []
