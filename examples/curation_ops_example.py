@@ -121,6 +121,47 @@ def main() -> None:
     )
     coverage_counts(freq).show()
 
+    print("== web curation: html -> text -> line dedup -> domain mix ==")
+    from gchq_data_quality_spark.functions.dedup import dedup_lines
+    from gchq_data_quality_spark.functions.stats import temperature_mix
+    from gchq_data_quality_spark.functions.web import (
+        extract_links,
+        registrable_domain,
+        strip_html,
+        url_host,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                i,
+                f"<html><body><h1>Page {i}</h1><p>Unique paragraph {i} "
+                f"with enough words to count.</p>"
+                f"<div>copyright example corp all rights reserved</div>"
+                f"<a href='https://out{i % 3}.example.co.uk/x'>link</a>"
+                f"</body></html>",
+            )
+            for i in range(8)
+        ],
+        "doc_id long, html string",
+    )
+    text = pages.select(
+        "doc_id",
+        strip_html(F.col("html")).alias("text"),
+        extract_links(F.col("html")).alias("links"),
+    )
+    dedup_lines(text, max_dup=2, min_line_chars=8).select(
+        "doc_id", "text", "n_lines_dropped"
+    ).show(3, truncate=60)
+    text.select(F.explode("links").alias("u")).select(
+        registrable_domain(url_host(F.col("u"))).alias("outlink_domain")
+    ).groupBy("outlink_domain").count().show()
+
+    print("== temperature-rebalanced source mix ==")
+    temperature_mix(docs, "source", "doc_id", alpha=0.3).groupBy(
+        "source"
+    ).count().orderBy("source").show()
+
     spark.stop()
 
 
