@@ -364,26 +364,45 @@ def measure_scaling(images_path: str, lo: int, hi: int, rounds: int,
         scaling = run_scaling(images_path, lo, hi, rounds=attempt_rounds, modes=modes)
         speedup, pair_speedups = _paired_speedup(scaling, lo, hi, "pipeline")
         ctl_speedup, ctl_pairs = _paired_speedup(scaling, lo, hi, "control")
+        # two health checks, both value-symmetric (they detect an
+        # unreliable MEASUREMENT, not a displeasing number):
+        # 1. the pure-JVM control itself scales < 0.8 -> SMT/noisy-
+        #    neighbour phase, nothing measured during it is meaningful;
+        # 2. the per-round pipeline speedup pairs disagree by > 1.5x ->
+        #    the host phase CHURNED mid-measurement (one leg caught a slow
+        #    phase the paired leg didn't), so the pairs never converged —
+        #    the r5 pathological-phase run read pairs [1.59, 1.41, 2.60]
+        #    with a clean-looking control (0.97) and absolute control
+        #    times 3x the calm floor.
+        dispersion = (
+            max(pair_speedups) / max(min(pair_speedups), 1e-9)
+            if pair_speedups
+            else 1.0
+        )
+        healthy = ctl_speedup / factor >= 0.8 and dispersion <= 1.5
         summary = {
             "attempt": attempt,
             "efficiency": round(speedup / factor, 3),
             "control_efficiency": round(ctl_speedup / factor, 3),
             "pair_speedups": pair_speedups,
             "control_pair_speedups": ctl_pairs,
+            "pair_dispersion": round(dispersion, 3),
+            "healthy": healthy,
         }
         attempts.append(summary)
-        record = (scaling, speedup, pair_speedups, ctl_speedup, ctl_pairs)
-        if best is None or ctl_speedup > best[3]:
+        record = (scaling, speedup, pair_speedups, ctl_speedup, ctl_pairs, healthy)
+        if best is None or (healthy, ctl_speedup) > (best[5], best[3]):
             best = record
-        if ctl_speedup / factor >= 0.8:
+        if healthy:
             break
         print(
             f"scaling attempt {attempt}: control efficiency "
-            f"{ctl_speedup / factor:.3f} < 0.8 (degraded host phase) — "
+            f"{ctl_speedup / factor:.3f}, pair dispersion {dispersion:.2f} "
+            "(degraded/churning host phase) — "
             + ("retrying" if attempt < max_attempts else "out of retries"),
             file=sys.stderr,
         )
-    scaling, speedup, pair_speedups, ctl_speedup, ctl_pairs = best
+    scaling, speedup, pair_speedups, ctl_speedup, ctl_pairs, _healthy = best
     return {
         "scaling": scaling,
         "speedup": speedup,
