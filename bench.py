@@ -390,8 +390,19 @@ def measure_scaling(images_path: str, lo: int, hi: int, rounds: int,
             "healthy": healthy,
         }
         attempts.append(summary)
-        record = (scaling, speedup, pair_speedups, ctl_speedup, ctl_pairs, healthy)
-        if best is None or (healthy, ctl_speedup) > (best[5], best[3]):
+        # among unhealthy attempts prefer the most CONVERGED one (lowest
+        # pair dispersion), not the cleanest control: a churning phase can
+        # pair one catastrophic lo leg with a calm hi leg and fabricate a
+        # super-linear "speedup" (r5 run 5: pair 5.76 -> efficiency 1.44
+        # reported from the attempt with the best control) — the converged
+        # attempt is the only one whose number MEANS anything
+        record = (
+            scaling, speedup, pair_speedups, ctl_speedup, ctl_pairs,
+            healthy, dispersion,
+        )
+        if best is None or (healthy, -dispersion, ctl_speedup) > (
+            best[5], -best[6], best[3]
+        ):
             best = record
         if healthy:
             break
@@ -402,13 +413,15 @@ def measure_scaling(images_path: str, lo: int, hi: int, rounds: int,
             + ("retrying" if attempt < max_attempts else "out of retries"),
             file=sys.stderr,
         )
-    scaling, speedup, pair_speedups, ctl_speedup, ctl_pairs, _healthy = best
+    scaling, speedup, pair_speedups, ctl_speedup, ctl_pairs, healthy, disp = best
     return {
         "scaling": scaling,
         "speedup": speedup,
         "pair_speedups": pair_speedups,
         "control_speedup": ctl_speedup,
         "control_pair_speedups": ctl_pairs,
+        "healthy": healthy,
+        "pair_dispersion": round(disp, 3),
         "attempts": attempts,
     }
 
@@ -588,8 +601,9 @@ def main() -> None:
             "lo_images_per_sec": round(n_scaling / lo_sec, 1),
             "hi_images_per_sec": round(n_scaling / hi_sec, 1),
             # headline estimator: best PER-ROUND lo/hi pair (adjacent runs,
-            # drift cancels in the ratio) from the attempt with the cleanest
-            # control — see _paired_speedup / measure_scaling
+            # drift cancels in the ratio) from the healthiest attempt
+            # (healthy first, then lowest pair dispersion, then cleanest
+            # control) — see _paired_speedup / measure_scaling
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / (hi / lo), 3),
             "pair_speedups": measured["pair_speedups"],
@@ -600,6 +614,8 @@ def main() -> None:
             "control_efficiency": round(ctl_speedup / (hi / lo), 3),
             "control_pair_speedups": measured["control_pair_speedups"],
             "efficiency_vs_machine": round(speedup / ctl_speedup, 3),
+            "healthy": measured["healthy"],
+            "pair_dispersion": measured["pair_dispersion"],
             "attempts": measured["attempts"],
         }
         for stage in modes:
