@@ -38,6 +38,24 @@ def engine_conf() -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        # Scan split sizing (r6, measured): the defaults (128 MB split, 4 MB
+        # open cost) read the 217 MB scaling table as ~10 partitions — at 8
+        # cores that is one full task wave plus a 2-task straggler wave (~20%
+        # idle; 2->8 pipeline efficiency 0.72), and an 11 MB single-file
+        # table scans as ~3 partitions on a 32-core session. 16 MB splits /
+        # 128 KB open cost give every leg 2+ task waves (8-core scaling leg
+        # 12.1 -> 10.1 s; pair efficiency 0.72 -> 0.87) without changing the
+        # 32-core headline scan (still 32 partitions; bytes-per-core binds).
+        # SCALE NOTE: these are local-mode values — on a real cluster with
+        # thousands of scan partitions, larger splits (256 MB - 1 GB) cut
+        # task-scheduling and shuffle-block overhead (guide §2.2/§6); both
+        # knobs are env-overridable for cluster deploys.
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "16777216"
+        ),
+        "spark.sql.files.openCostInBytes": os.environ.get(
+            "SPARK_GRAFT_OPEN_COST_BYTES", "131072"
+        ),
     }
 
 
