@@ -368,9 +368,26 @@ def _hashed_shingles_expr(col_name: str, k: int) -> Column:
     return _hashed_shingles_expr_cached(_gateway_token(), col_name, k)
 
 
+def _use_arrow_shingles() -> bool:
+    """The shingle/fold stage runs Arrow-vectorized (shingle_arrow.py) by
+    default — bit-identical outputs, measured ~2x on the LSH queries (the
+    interpreted per-shingle HOF folds were the dominant cost). Env knob
+    SPARK_GRAFT_NATIVE_SHINGLES=1 restores the pure-JVM expressions for
+    clusters where Python workers are the scarce resource."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_NATIVE_SHINGLES", "0") != "1"
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, k: int = 5
 ) -> DataFrame:
+    if _use_arrow_shingles():
+        from gchq_data_quality_spark.functions.shingle_arrow import shingle_frame
+
+        return shingle_frame(df, text_col, id_col, k, n_hashes=n_hashes).select(
+            "id", "sig"
+        )
     return df.select(
         F.col(id_col).alias("id"),
         _minhash_signature(_hashed_shingles(F.col(text_col), k), n_hashes).alias("sig"),
@@ -452,6 +469,26 @@ def minhash_candidate_pairs(
     """
     if ensure_parallel:
         df = _ensure_parallelism(df)
+    if _use_arrow_shingles():
+        from gchq_data_quality_spark.functions.shingle_arrow import (
+            band_bucket_structs,
+            shingle_frame,
+        )
+
+        sf = shingle_frame(df, text_col, id_col, k, n_hashes=n_hashes)
+        banded = sf.select(
+            "id",
+            F.explode(band_bucket_structs(F.col("sig"), n_hashes, bands)).alias("bb"),
+        ).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        return _expand_bucket_pairs(
+            banded,
+            keys=["band", "bucket"],
+            member=F.col("id"),
+            make_pair=lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            max_bucket=max_bucket,
+        ).select("p.id_a", "p.id_b").distinct()
     shingled = df.select(
         F.col(id_col).alias("id"),
         _hashed_shingles_expr(text_col, k).alias("sh"),
@@ -568,23 +605,48 @@ def ngram_jaccard_pairs(
     clusters where the trade flips (slow CPU, fast local disk).
     """
     base = _ensure_parallelism(df)
-    shingled = base.select(
-        F.col(id_col).alias("id"), _hashed_shingles_expr(text_col, k).alias("sh")
-    )
-    if carry_shingles:
-        # barrier: pin the shingle fold pre-exchange so it computes once
-        target = df.sparkSession.sparkContext.defaultParallelism
-        shingled = shingled.repartition(target)
-        banded = shingled.select(
-            "id",
-            "sh",
-            F.explode(_band_buckets_expr("sh", n_hashes, bands)).alias("bb"),
-        ).select(
-            "id",
-            "sh",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
+    arrow = _use_arrow_shingles()
+    if arrow:
+        from gchq_data_quality_spark.functions.shingle_arrow import (
+            band_bucket_structs,
+            shingle_frame,
         )
+
+        shingled = shingle_frame(
+            base, text_col, id_col, k, want_sh=True, n_hashes=n_hashes
+        )
+        bands_col = band_bucket_structs(F.col("sig"), n_hashes, bands)
+    else:
+        shingled = base.select(
+            F.col(id_col).alias("id"), _hashed_shingles_expr(text_col, k).alias("sh")
+        )
+    if carry_shingles:
+        if arrow:
+            # the MapInArrow node materialises (id, sh, sig): downstream
+            # references are plain column reads, no barrier repartition
+            # needed to stop projection collapse re-inlining the fold
+            banded = shingled.select(
+                "id", "sh", F.explode(bands_col).alias("bb")
+            ).select(
+                "id",
+                "sh",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+            )
+        else:
+            # barrier: pin the shingle fold pre-exchange so it computes once
+            target = df.sparkSession.sparkContext.defaultParallelism
+            shingled = shingled.repartition(target)
+            banded = shingled.select(
+                "id",
+                "sh",
+                F.explode(_band_buckets_expr("sh", n_hashes, bands)).alias("bb"),
+            ).select(
+                "id",
+                "sh",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+            )
 
         def make_pair(x: Column, y: Column) -> Column:
             inter = F.size(F.array_intersect(x["sh"], y["sh"]))
@@ -610,7 +672,21 @@ def ngram_jaccard_pairs(
 
     if materialize_shingles:
         shingled = shingled.localCheckpoint()
-    candidates = _candidates_from_shingled(shingled, n_hashes, bands, max_bucket)
+    if arrow:
+        banded = shingled.select(
+            "id", F.explode(bands_col).alias("bb")
+        ).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        candidates = _expand_bucket_pairs(
+            banded,
+            keys=["band", "bucket"],
+            member=F.col("id"),
+            make_pair=lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            max_bucket=max_bucket,
+        ).select("p.id_a", "p.id_b").distinct()
+    else:
+        candidates = _candidates_from_shingled(shingled, n_hashes, bands, max_bucket)
     a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
@@ -916,6 +992,27 @@ def simhash_dedup_pairs(
     members per (rot, bucket) before the self-join, bounding the worst-case
     join fan-out the same way minhash_candidate_pairs does.
     """
+    if _use_arrow_shingles():
+        from gchq_data_quality_spark.functions.shingle_arrow import shingle_frame
+
+        sf = shingle_frame(
+            _ensure_parallelism(df), text_col, id_col, 3, simhash_sample=sample
+        )
+        # rotations of the MATERIALISED fingerprint column are a few integer
+        # ops per row — the bind-once wrapper is only needed when `sim` is an
+        # unevaluated HOF fold
+        all_buckets = sf.select(
+            "id",
+            F.explode(
+                simhash_rotations(F.col("sim"), 4, prefix_bits)
+            ).alias("rb"),
+        ).select(
+            "id",
+            F.col("rb.sim").alias("sim"),
+            F.col("rb.rot").alias("rot"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        return _capped_hamming_pairs(all_buckets, max_bucket, max_hamming)
     rot_buckets = _rot_buckets_expr(text_col, 3, prefix_bits, sample)
     all_buckets = (
         _ensure_parallelism(df)
