@@ -47,18 +47,7 @@ def _rule_metrics_df(spark: SparkSession, df: DataFrame, rules) -> DataFrame:
     from gchq_data_quality_spark.engine import compute_metrics
 
     metrics = compute_metrics(df, rules, collect_samples=False)
-    rows = [
-        (
-            m.rule.rule_id,
-            int(m.records_evaluated),
-            int(m.records_passing),
-            round(m.pass_rate, 6) if m.pass_rate is not None else None,
-        )
-        for m in metrics
-    ]
-    return spark.createDataFrame(
-        rows, "rule_id string, records_evaluated long, records_passing long, pass_rate double"
-    )
+    return _metrics_rows_df(spark, metrics)
 
 
 # ---------------------------------------------------------------------------
@@ -109,19 +98,7 @@ def _q_rule_completeness_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         [CompletenessRule(field="event_type", na_values=["error"], rule_id="events_na")],
         collect_samples=False,
     )
-    rows = [
-        (
-            m.rule.rule_id,
-            int(m.records_evaluated),
-            int(m.records_passing),
-            round(m.pass_rate, 6) if m.pass_rate is not None else None,
-        )
-        for m in metrics
-    ]
-    return spark.createDataFrame(
-        rows,
-        "rule_id string, records_evaluated long, records_passing long, pass_rate double",
-    )
+    return _metrics_rows_df(spark, metrics)
 
 
 def _q_rule_uniqueness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,7 +136,14 @@ def _q_rule_accuracy_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _metrics_rows_df(spark: SparkSession, metrics) -> DataFrame:
     """Metric objects (possibly from several compute_metrics calls over
-    different tables) -> the standard 4-column rule-metrics frame."""
+    different tables) -> the standard 4-column rule-metrics frame.
+
+    r6: LocalRelation-backed (sources/local.py) — createDataFrame
+    parallelizes into an RDD and the driver's collect of a 6-row frame
+    scheduled a real job (~0.2 s/invocation measured); the VALUES literal
+    collects driver-locally with identical schema and values."""
+    from gchq_data_quality_spark.sources.local import local_values_df
+
     rows = [
         (
             m.rule.rule_id,
@@ -169,7 +153,8 @@ def _metrics_rows_df(spark: SparkSession, metrics) -> DataFrame:
         )
         for m in metrics
     ]
-    return spark.createDataFrame(
+    return local_values_df(
+        spark,
         rows,
         "rule_id string, records_evaluated long, records_passing long, pass_rate double",
     )

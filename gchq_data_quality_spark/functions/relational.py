@@ -309,7 +309,12 @@ def _connected_components_driver(canon: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("label", id_type)]
     )
-    return canon.sparkSession.createDataFrame(out, schema)
+    # LocalRelation-backed (falls back to createDataFrame past the literal
+    # bound): downstream aggregations over the label frame start one AQE
+    # stage earlier and a plain collect is driver-local (sources/local.py)
+    from gchq_data_quality_spark.sources.local import local_values_df
+
+    return local_values_df(canon.sparkSession, out, schema)
 
 
 def _star_checksum(edges: DataFrame) -> tuple[int, int]:
