@@ -917,7 +917,7 @@ def _q_orders_nearby_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od"),
     )
     pairs = bucketed_range_join(
-        orders.select("o_custkey", "o_orderkey", "od"),
+        orders.select("o_custkey", "o_orderkey", "o_orderpriority", "od"),
         orders.select("o_custkey", "o_orderkey", "od"),
         by=["o_custkey"],
         left_point="od",
@@ -925,19 +925,35 @@ def _q_orders_nearby_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower=-7 * day_us,
         upper=7 * day_us,
     ).filter(F.col("l_o_orderkey") != F.col("r_o_orderkey"))
+    # r6 restructure (identical results, one less pass over orders): the old
+    # shape LEFT-joined per-order counts back onto the full orders table to
+    # zero-fill, shuffling orders a second time. Per-priority totals need
+    # only (a) order counts straight off the orders scan (map-side partial
+    # agg, no wide shuffle) and (b) pair counts per (order, priority) from
+    # the range join; avg = sum/count is arithmetically AVG over the
+    # zero-filled orders, and max/sum coalesce to 0 for priorities with no
+    # nearby pairs. Oracle-hash equivalence re-proven after the change.
     per_order = pairs.groupBy(
-        F.col("l_o_orderkey").alias("o_orderkey")
+        F.col("l_o_orderkey").alias("o_orderkey"),
+        F.col("l_o_orderpriority").alias("o_orderpriority"),
     ).agg(F.count(F.lit(1)).alias("n_nearby"))
-    enriched = orders.join(per_order, "o_orderkey", "left").withColumn(
-        "n_nearby", F.coalesce("n_nearby", F.lit(0))
+    pair_stats = per_order.groupBy("o_orderpriority").agg(
+        F.sum("n_nearby").alias("n_nearby_pairs"),
+        F.max("n_nearby").alias("max_nearby"),
     )
+    order_counts = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    joined = order_counts.join(F.broadcast(pair_stats), "o_orderpriority", "left")
     return (
-        enriched.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("n_nearby").alias("n_nearby_pairs"),
-            F.round(F.avg("n_nearby"), 4).alias("avg_nearby"),
-            F.max("n_nearby").alias("max_nearby"),
+        joined.select(
+            "o_orderpriority",
+            "n_orders",
+            F.coalesce("n_nearby_pairs", F.lit(0)).alias("n_nearby_pairs"),
+            F.round(
+                F.coalesce("n_nearby_pairs", F.lit(0)) / F.col("n_orders"), 4
+            ).alias("avg_nearby"),
+            F.coalesce("max_nearby", F.lit(0)).alias("max_nearby"),
         )
         .orderBy("o_orderpriority")
     )
