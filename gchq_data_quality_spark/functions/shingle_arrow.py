@@ -44,6 +44,7 @@ the interpreted fold cost removed.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -443,7 +444,28 @@ def shingle_frame(
 def band_bucket_structs(sig: Column, n_hashes: int, bands: int) -> Column:
     """array<struct<band:int,bucket:long>> from a MATERIALIZED signature
     column — the same concat_ws/xxhash64 bucket derivation as the native
-    fold's finish lambda, now over plain column element reads."""
+    fold's finish lambda, now over plain column element reads.
+
+    Memoised per gateway when called on the canonical ``sig`` column (every
+    Column op is a py4j round-trip; this tree is ~50 of them — see the
+    dedup.py expression-cache note)."""
+    from gchq_data_quality_spark.functions.dedup import _gateway_token
+
+    try:
+        name = sig._jc.toString()
+    except Exception:
+        name = None
+    if name == "sig":
+        return _band_structs_cached(_gateway_token(), n_hashes, bands)
+    return _band_structs_build(sig, n_hashes, bands)
+
+
+@lru_cache(maxsize=64)
+def _band_structs_cached(token: int, n_hashes: int, bands: int) -> Column:
+    return _band_structs_build(F.col("sig"), n_hashes, bands)
+
+
+def _band_structs_build(sig: Column, n_hashes: int, bands: int) -> Column:
     rows_per_band = n_hashes // bands
     return F.array(
         *[
