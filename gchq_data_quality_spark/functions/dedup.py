@@ -1261,7 +1261,16 @@ def dedup_lines(
     frame proportional to the boilerplate, not the corpus. (3) the
     original frame left-joins that frame and rebuilds the text with a
     zip_with/filter/array_join expression; untouched docs join NULL and
-    pass through byte-identical. xxhash64 keying means two distinct lines
+    pass through byte-identical.
+
+    Scale scope (ADVICE r5): the payload-free guarantee covers the
+    COUNTING shuffles (steps 1-2, plan-asserted). The step-3 rebuild join
+    is broadcast when the dropped-position frame is small (AQE; typical
+    when boilerplate touches a minority of docs) but legitimately degrades
+    to ONE payload shuffle keyed by ``id_col`` when boilerplate affects
+    most documents — no hint is forced because broadcasting a
+    corpus-proportional frame would OOM at exactly the scale where it
+    matters. xxhash64 keying means two distinct lines
     colliding in 64 bits would co-drop — expected collisions ~n²/2⁶⁵, the
     standard trade (same as exact_dedup's fingerprint).
 

@@ -22,11 +22,19 @@ materialising the partition, and emission re-batches output sequences.
 
 from __future__ import annotations
 
+import re
 from collections import deque
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The repo's token convention is Java \s+ (text.token_count) and the
+# packed_tokens oracle replays it with RE2 \s — both ASCII-only. Python
+# str.split() additionally splits on Unicode whitespace (U+00A0, U+0085,
+# U+2028, \x1c-\x1f), which would diverge token counts on non-ASCII text,
+# so packing splits on the explicit Java \s class instead.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 PACKED_SCHEMA = (
     "part_id int, seq_idx long, n_tokens int, n_docs int, "
@@ -131,7 +139,7 @@ def pack_sequences(
             for doc_id, text in zip(pdf["__id"], pdf["__text"]):
                 if text is None:
                     continue
-                toks = text.split()
+                toks = [t for t in _ASCII_WS.split(text) if t]
                 if not toks:
                     continue
                 toks = toks + sep

@@ -163,6 +163,28 @@ def main(argv: list[str] | None = None) -> None:
     )
     pipe = QualityFilterPipeline(config, langid_model, ppl_model)
 
+    # Resume-lineage guard, UNCONDITIONAL (ADVICE r5): a manifest written
+    # WITH --size-gate / --history-fps must not be resumed WITHOUT the flag
+    # (and vice versa the per-flag blocks below check the values) — the
+    # completed and pending buckets would see different input row sets.
+    from gchq_data_quality_spark.sources.checkpoint import (
+        CheckpointManifest as _CMGuard,
+    )
+
+    _guard_meta = _CMGuard(args.manifest).load().get("meta", {})
+    if _guard_meta.get("size_gate") is not None and not args.size_gate:
+        raise ValueError(
+            f"Manifest was written with --size-gate params "
+            f"{_guard_meta['size_gate']!r}; resuming without --size-gate "
+            "would mix input lineages — use a fresh manifest"
+        )
+    if _guard_meta.get("history_fps", {}).get("path") and not args.history_fps:
+        raise ValueError(
+            f"Manifest was written with --history-fps "
+            f"{_guard_meta['history_fps']['path']!r}; resuming without "
+            "--history-fps would mix input lineages — use a fresh manifest"
+        )
+
     if args.size_gate:
         # decode-free metadata gate, FIRST (cheapest filter wins): proven-bad
         # dims drop the row before the history probe, bucketing, decode, or

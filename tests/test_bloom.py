@@ -137,3 +137,17 @@ def test_optimal_params_shape():
         _optimal_params(0, 0.01)
     with pytest.raises(ValueError):
         _optimal_params(10, 1.5)
+
+
+def test_bloom_prefilter_broadcast_reused_per_digest(spark):
+    """ADVICE r5: repeated prefilters with the same bloom must reuse ONE
+    broadcast (keyed per gateway+digest), not leak a fresh one per call."""
+    from gchq_data_quality_spark.functions import bloom as bloom_mod
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    bf = build_bloom(df, "v", expected_items=50, fpp=0.01)
+    bloom_mod._BCAST_CACHE.clear()
+    a = bloom_prefilter(df, "v", bf)
+    b = bloom_prefilter(df, "v", bf)
+    assert a.count() == 50 and b.count() == 50
+    assert len(bloom_mod._BCAST_CACHE) == 1

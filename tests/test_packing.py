@@ -108,3 +108,24 @@ def test_pack_validates_seq_len(spark):
     df = _docs(spark, n=3)
     with pytest.raises(ValueError):
         pack_sequences(df, "text", "id", seq_len=0)
+
+
+def test_pack_unicode_whitespace_matches_token_count(spark):
+    """ADVICE r5: packing must tokenize on the ASCII \\s class (the repo's
+    Java \\s+ convention, which the RE2 oracle mirrors), NOT Python
+    str.split()'s Unicode whitespace — U+00A0/U+2028/U+0085/\\x1c must stay
+    inside tokens so token conservation holds on non-ASCII text."""
+    from gchq_data_quality_spark.functions.text import token_count
+
+    rows = [
+        (0, "a b c"),  # NBSP glues a and b into one token
+        (1, "x y\tz"),  # line separator glued; tab splits
+        (2, "pq \x1c r"),  # NEL and FS are token bytes
+        (3, "one\x0btwo"),  # \x0b IS Java \s -> two tokens
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    packed = pack_sequences(df, "text", "id", seq_len=64, num_partitions=1)
+    emitted = sum(r.n_tokens for r in packed.collect())
+    jvm_tokens = df.agg(F.sum(token_count(F.col("text")))).collect()[0][0]
+    # conservation: emitted == jvm token count + one separator per doc
+    assert emitted == jvm_tokens + len(rows)

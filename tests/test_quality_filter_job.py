@@ -494,3 +494,39 @@ def test_job_size_gate_param_change_on_resume_raises(spark, tmp_path, capsys):
     _run(tmp_path, ["--size-gate", "--min-side", "24"])
     with pytest.raises(ValueError, match="size-gate"):
         _run(tmp_path, ["--size-gate", "--min-side", "32"])
+
+
+def test_job_gate_presence_change_on_resume_raises(spark, tmp_path, capsys):
+    """ADVICE r5: the lineage guards must fire UNCONDITIONALLY — resuming a
+    gated manifest WITHOUT --size-gate (or a history-probed manifest
+    without --history-fps) silently mixes input lineages."""
+    _run(tmp_path, ["--size-gate", "--min-side", "24"])
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="size-gate"):
+        _run(tmp_path, [])
+
+    fps = tmp_path / "fps2"
+    quality_filter_job.main(
+        [
+            "--synthetic", "400",
+            "--output", str(tmp_path / "oute"),
+            "--audit", str(tmp_path / "audite"),
+            "--manifest", str(tmp_path / "me.json"),
+            "--n-buckets", "4",
+            "--emit-fps", str(fps),
+        ]
+    )
+    capsys.readouterr()
+    out2 = tmp_path / "outp"
+    m2 = tmp_path / "mp.json"
+    common = [
+        "--synthetic", "400",
+        "--output", str(out2),
+        "--audit", str(tmp_path / "auditp"),
+        "--manifest", str(m2),
+        "--n-buckets", "4",
+    ]
+    quality_filter_job.main([*common, "--history-fps", str(fps)])
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="history-fps"):
+        quality_filter_job.main(common)
